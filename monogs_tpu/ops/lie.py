@@ -1,0 +1,135 @@
+"""SE(3)/SO(3) Lie-group math, fully jittable (no data-dependent branches).
+
+Semantics match the reference tracker's pose parameterization
+(/root/reference/utils/pose_utils.py:12-93): camera pose is stored as a
+world-to-camera rigid transform (R, t); each optimization step learns a
+tangent-space delta tau = [rho (translation), theta (rotation)] and retracts
+via  T_w2c <- SE3_exp(tau) @ T_w2c.
+
+Unlike the reference (python `if angle < eps` branches), small-angle handling
+here uses `jnp.where` with Taylor series so everything traces under jit and
+is correct under autodiff (both branches evaluated on safe inputs).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def skew(v: jnp.ndarray) -> jnp.ndarray:
+    """(...,3) -> (...,3,3) skew-symmetric matrix [v]_x."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=-1),
+            jnp.stack([z, zero, -x], axis=-1),
+            jnp.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def _sinc_coeffs(angle_sq: jnp.ndarray):
+    """Return (A, B, C) = (sin a / a, (1-cos a)/a^2, (a - sin a)/a^3).
+
+    Computed from angle^2 with Taylor fallbacks for small angles so the
+    gradient at angle=0 is exact (no NaN from 0/0 under autodiff).
+    """
+    angle = jnp.sqrt(angle_sq + _EPS)
+    # Branch point chosen for fp32: below angle=1e-2 the closed forms lose
+    # precision catastrophically ((1-cos a)/a^2 is 0/0-ish), while the 2-term
+    # Taylor series is accurate to ~1e-10 relative.
+    small = angle_sq < 1e-4
+    # Safe angle for the exact formulas (avoid div by ~0 in the dead branch).
+    a = jnp.where(small, jnp.ones_like(angle), angle)
+    a2 = a * a
+    A = jnp.where(small, 1.0 - angle_sq / 6.0, jnp.sin(a) / a)
+    B = jnp.where(small, 0.5 - angle_sq / 24.0, (1.0 - jnp.cos(a)) / a2)
+    C = jnp.where(small, 1.0 / 6.0 - angle_sq / 120.0, (a - jnp.sin(a)) / (a2 * a))
+    return A, B, C
+
+
+def so3_exp(theta: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: (3,) rotation vector -> (3,3) rotation matrix."""
+    W = skew(theta)
+    W2 = W @ W
+    angle_sq = jnp.sum(theta * theta)
+    A, B, _ = _sinc_coeffs(angle_sq)
+    return jnp.eye(3, dtype=theta.dtype) + A * W + B * W2
+
+
+def so3_left_jacobian(theta: jnp.ndarray) -> jnp.ndarray:
+    """Left Jacobian V(theta) of SO(3) (reference pose_utils.py:43-58)."""
+    W = skew(theta)
+    W2 = W @ W
+    angle_sq = jnp.sum(theta * theta)
+    _, B, C = _sinc_coeffs(angle_sq)
+    return jnp.eye(3, dtype=theta.dtype) + B * W + C * W2
+
+
+def se3_exp(tau: jnp.ndarray) -> jnp.ndarray:
+    """(6,) tau = [rho, theta] -> (4,4) homogeneous transform.
+
+    Matches reference pose_utils.py:61-73: R = exp(theta), t = V(theta) @ rho.
+    """
+    rho, theta = tau[:3], tau[3:]
+    R = so3_exp(theta)
+    t = so3_left_jacobian(theta) @ rho
+    T = jnp.eye(4, dtype=tau.dtype)
+    T = T.at[:3, :3].set(R)
+    T = T.at[:3, 3].set(t)
+    return T
+
+
+def so3_log(R: jnp.ndarray) -> jnp.ndarray:
+    """(3,3) rotation matrix -> (3,) rotation vector (principal log)."""
+    trace = jnp.trace(R)
+    cos_angle = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    angle = jnp.arccos(cos_angle)
+    w = jnp.stack(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
+    )
+    # w = 2 sin(angle) * axis ; handle small angle with Taylor of a/(2 sin a).
+    small = angle < 1e-6
+    a = jnp.where(small, jnp.ones_like(angle), angle)
+    factor = jnp.where(small, 0.5 + angle * angle / 12.0, a / (2.0 * jnp.sin(a)))
+    return factor * w
+
+
+def apply_pose_delta(R: jnp.ndarray, t: jnp.ndarray, rho: jnp.ndarray,
+                     theta: jnp.ndarray):
+    """Retraction: (R,t) of T_w2c composed with SE3_exp([rho, theta]) on the
+    left (reference pose_utils.py:76-93). Returns (R_new, t_new).
+
+    This function is *differentiable in (rho, theta)* — the tracker renders
+    through it so pose gradients flow by autodiff (replacing the CUDA
+    rasterizer's analytic dL/dtheta, dL/drho outputs).
+    """
+    tau = jnp.concatenate([rho, theta])
+    dT = se3_exp(tau)
+    R_new = dT[:3, :3] @ R
+    t_new = dT[:3, :3] @ t + dT[:3, 3]
+    return R_new, t_new
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """(...,4) wxyz quaternion (unnormalized ok) -> (...,3,3) rotation.
+
+    Matches reference general_utils.py:113-136 (build_rotation): normalizes
+    then builds R with w,x,y,z ordering.
+    """
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + _EPS)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r0 = jnp.stack(
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], axis=-1
+    )
+    r1 = jnp.stack(
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], axis=-1
+    )
+    r2 = jnp.stack(
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], axis=-1
+    )
+    return jnp.stack([r0, r1, r2], axis=-2)

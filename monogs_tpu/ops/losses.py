@@ -1,0 +1,226 @@
+"""Image losses and edge masks for tracking/mapping (pure JAX, jittable).
+
+Parity targets in /root/reference:
+  utils/slam_utils.py:6-41   (Scharr gradients + valid-gradient masks)
+  utils/slam_utils.py:58-98  (get_loss_tracking)
+  utils/slam_utils.py:101-146 (get_loss_mapping)
+  utils/slam_utils.py:149-157 (get_median_depth)
+  utils/camera_utils.py:184-212 (compute_grad_mask)
+  gaussian_splatting/utils/loss_utils.py (l1, ssim)
+  gaussian_splatting/utils/image_utils.py:19 (psnr)
+
+All masked reductions are implemented as sum(mask*x)/sum(mask) so shapes stay
+static under jit (the reference uses boolean indexing, which is dynamic).
+Image layout is channel-last (H, W, C) — TPU-friendly lane dimension on W.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_SCHARR_X = jnp.array([[3.0, 10.0, 3.0], [0.0, 0.0, 0.0], [-3.0, -10.0, -3.0]])
+_SCHARR_Y = jnp.array([[3.0, 0.0, -3.0], [10.0, 0.0, -10.0], [3.0, 0.0, -3.0]])
+
+
+def _conv2d_same_reflect(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 3x3 conv with reflect padding on an (H, W) image."""
+    p = jnp.pad(img, ((1, 1), (1, 1)), mode="reflect")
+    out = jax.lax.conv_general_dilated(
+        p[None, :, :, None],
+        kernel[:, :, None, None],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out[0, :, :, 0]
+
+
+def image_gradient(image: jnp.ndarray):
+    """Scharr gradients of an (H, W) image -> (grad_v, grad_h).
+
+    Parity: slam_utils.py:6-24 (note the reference names: conv with its
+    `conv_x` kernel produces the *vertical* gradient output `img_grad_v`).
+    """
+    normalizer = 1.0 / 32.0  # 1/sum(|scharr|)
+    grad_v = normalizer * _conv2d_same_reflect(image, _SCHARR_X)
+    grad_h = normalizer * _conv2d_same_reflect(image, _SCHARR_Y)
+    return grad_v, grad_h
+
+
+def image_gradient_mask(image: jnp.ndarray, eps: float = 0.01):
+    """Masks of pixels whose full 3x3 neighborhood is valid (|v| > eps).
+
+    Parity: slam_utils.py:26-41. Returns (mask_v, mask_h) — both are the same
+    all-9-valid criterion in the reference; we keep the two-output signature.
+    """
+    valid = (jnp.abs(image) > eps).astype(jnp.float32)
+    ones = jnp.ones((3, 3), dtype=jnp.float32)
+    # Reference pads with reflect on the *image* then thresholds; padding the
+    # validity map with reflect is equivalent for interior and matches edges.
+    s = _conv2d_same_reflect(valid, ones)
+    mask = s >= 9.0 - 1e-6
+    return mask, mask
+
+
+def compute_grad_mask(rgb: jnp.ndarray, edge_threshold: float = 1.1) -> jnp.ndarray:
+    """Edge mask used by the tracking loss: Scharr gradient magnitude of the
+    gray image > edge_threshold * median (camera_utils.py:184-212).
+
+    rgb: (H, W, 3) in [0,1]. Returns boolean (H, W).
+    """
+    gray = jnp.mean(rgb, axis=-1)
+    gv, gh = image_gradient(gray)
+    mv, mh = image_gradient_mask(gray)
+    gv = gv * mv
+    gh = gh * mh
+    mag = jnp.sqrt(gv * gv + gh * gh)
+    med = jnp.median(mag)
+    return mag > med * edge_threshold
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / (jnp.sum(m) + eps)
+
+
+def get_loss_tracking(
+    render_rgb: jnp.ndarray,      # (H, W, 3)
+    render_depth: jnp.ndarray,    # (H, W)
+    render_opacity: jnp.ndarray,  # (H, W)
+    gt_rgb: jnp.ndarray,          # (H, W, 3)
+    gt_depth: jnp.ndarray,        # (H, W), 0 = invalid
+    gt_mask: jnp.ndarray,         # (H, W) bool
+    grad_mask: jnp.ndarray,       # (H, W) bool
+    exposure_a: jnp.ndarray,      # scalar
+    exposure_b: jnp.ndarray,      # scalar
+) -> jnp.ndarray:
+    """Tracking loss (slam_utils.py:58-98): opacity-weighted masked L1 on
+    exposure-corrected RGB + masked L1 depth; 0.5 * l1_rgb + l1_depth.
+
+    Note: the reference (a mid-refactor fork) computes
+    `mean(|diff*mask|) * mean(opacity)` due to a misplaced .mean(); we
+    implement the intended elementwise weighting from upstream MonoGS:
+    mean(opacity * |diff| * mask).
+    """
+    opacity_mask = render_opacity > 0.99
+    rgb = jnp.exp(exposure_a) * render_rgb + exposure_b
+    rgb_mask = (
+        gt_mask.astype(rgb.dtype)
+        * grad_mask.astype(rgb.dtype)
+        * opacity_mask.astype(rgb.dtype)
+    )[..., None]
+    l1_rgb = jnp.mean(
+        render_opacity[..., None] * jnp.abs(rgb * rgb_mask - gt_rgb * rgb_mask)
+    )
+    depth_mask = (gt_depth > 0) & opacity_mask
+    l1_depth = masked_mean(jnp.abs(render_depth - gt_depth), depth_mask)
+    return 0.5 * l1_rgb + l1_depth
+
+
+def get_loss_mapping(
+    render_rgb: jnp.ndarray,
+    render_depth: jnp.ndarray,
+    gt_rgb: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    exposure_a: jnp.ndarray,
+    exposure_b: jnp.ndarray,
+    init: bool = False,
+    lambda_depth: float = 0.9,
+) -> jnp.ndarray:
+    """Mapping loss (slam_utils.py:101-146): masked L1 rgb + L1 depth,
+    lambda_depth * rgb + (1 - lambda_depth) * depth. During map init the
+    exposure affine is skipped."""
+    rgb = render_rgb if init else jnp.exp(exposure_a) * render_rgb + exposure_b
+    l1_rgb = masked_mean(
+        jnp.abs(rgb - gt_rgb), jnp.broadcast_to(gt_mask[..., None], rgb.shape)
+    )
+    depth_mask = gt_depth > 0
+    l1_depth = masked_mean(jnp.abs(render_depth - gt_depth), depth_mask)
+    return lambda_depth * l1_rgb + (1.0 - lambda_depth) * l1_depth
+
+
+def get_median_depth(depth: jnp.ndarray, mask: jnp.ndarray | None = None):
+    """Median of valid (>0, optionally masked) depths (slam_utils.py:149-157).
+
+    Static-shape jit version: invalid entries are replaced by NaN and
+    jnp.nanmedian is used.
+    """
+    valid = depth > 0
+    if mask is not None:
+        valid = valid & mask
+    vals = jnp.where(valid, depth, jnp.nan)
+    return jnp.nanmedian(vals)
+
+
+def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """loss_utils.py:22."""
+    return jnp.mean(jnp.abs(a - b))
+
+
+def _gaussian_window(window_size: int, sigma: float) -> jnp.ndarray:
+    x = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
+    g = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
+    return g / jnp.sum(g)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size", "padding"))
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+         padding: str = "valid") -> jnp.ndarray:
+    """Differentiable SSIM on (H, W, C) images.
+
+    TPU-native replacement for the fused-ssim CUDA extension
+    (loss_utils.py:19,43-45, requirements.txt:1): a separable Gaussian-window
+    SSIM expressed as convs; XLA fuses the elementwise chain.
+    padding='valid' matches fused_ssim's default.
+    """
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    g = _gaussian_window(window_size, 1.5)
+
+    def blur(x):  # (H, W, C) depthwise separable gaussian blur
+        xt = x[None]  # NHWC
+        pad = "VALID" if padding == "valid" else "SAME"
+        c = x.shape[-1]
+        kv = jnp.tile(g[:, None, None, None], (1, 1, 1, c))  # (K,1,1,C)
+        kh = jnp.tile(g[None, :, None, None], (1, 1, 1, c))
+        y = jax.lax.conv_general_dilated(
+            xt, kv, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+        y = jax.lax.conv_general_dilated(
+            y, kh, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+        return y[0]
+
+    mu1, mu2 = blur(img1), blur(img2)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = blur(img1 * img1) - mu1_sq
+    sigma2_sq = blur(img2 * img2) - mu2_sq
+    sigma12 = blur(img1 * img2) - mu12
+    ssim_map = ((2 * mu12 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+    return jnp.mean(ssim_map)
+
+
+def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """image_utils.py:19 — mean PSNR over the image (inputs in [0,1])."""
+    mse = jnp.mean((img1 - img2) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse + 1e-12))
+
+
+def depth_reg(depth: jnp.ndarray, gt_rgb: jnp.ndarray) -> jnp.ndarray:
+    """Edge-aware depth smoothness (slam_utils.py:43-56; unused by the
+    reference SLAM loop but part of the public loss surface)."""
+    gray = jnp.mean(gt_rgb, axis=-1)
+    mask_v, mask_h = image_gradient_mask(depth)
+    gray_v, gray_h = image_gradient(gray)
+    depth_v, depth_h = image_gradient(depth)
+    w_v = jnp.exp(-10.0 * gray_v ** 2)
+    w_h = jnp.exp(-10.0 * gray_h ** 2)
+    err = masked_mean(w_h * jnp.abs(depth_h), mask_h) + masked_mean(
+        w_v * jnp.abs(depth_v), mask_v
+    )
+    return err

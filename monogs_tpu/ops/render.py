@@ -1,0 +1,157 @@
+"""High-level differentiable render op.
+
+TPU-native counterpart of the reference render wrapper
+(/root/reference/gaussian_splatting/gaussian_renderer/__init__.py:26-168):
+returns rgb/depth/opacity images plus the SLAM visibility signals
+(n_touched, radii) and supports a screen-space gradient hook (`mean2d_dummy`)
+replacing the reference's retain_grad dummy tensor
+(gaussian_renderer/__init__.py:52-58) for densification statistics.
+
+Pipeline (single jittable graph):
+  project_gaussians (autodiff, incl. pose delta)  ->  tile_bin (int indices)
+  ->  feature gather  ->  composite_tiles (Pallas custom-VJP)  ->  assemble.
+Gradients w.r.t. Gaussian params flow through the gather's scatter-add
+transpose; gradients w.r.t. (rho, theta) flow through projection.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .binning import tile_bin
+from .graphics import Intrinsics
+from .projection import ProjectedGaussians, project_gaussians
+from .tile_raster import RasterConfig, composite_tiles, make_raster_config
+
+
+class RenderOutput(NamedTuple):
+    rgb: jnp.ndarray        # (H, W, 3)
+    depth: jnp.ndarray      # (H, W) alpha-blended depth
+    opacity: jnp.ndarray    # (H, W) accumulated alpha
+    n_touched: jnp.ndarray  # (N,) int32 per-Gaussian contributing-pixel count
+    radii: jnp.ndarray      # (N,) float screen radius (0 = culled)
+    overflow: jnp.ndarray   # () int32 binning-capacity diagnostics
+
+
+def _assemble_image(out: jnp.ndarray, cfg: RasterConfig) -> jnp.ndarray:
+    """(T, P, C) tile buffers -> (H, W, C) image (cropped)."""
+    ts, C = cfg.tile_size, out.shape[-1]
+    img = out.reshape(cfg.tiles_y, cfg.tiles_x, ts, ts, C)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(
+        cfg.tiles_y * ts, cfg.tiles_x * ts, C
+    )
+    return img[: cfg.img_h, : cfg.img_w]
+
+
+def render_projected(
+    proj: ProjectedGaussians,
+    cfg: RasterConfig,
+    *,
+    bg: jnp.ndarray | None = None,
+    tile_capacity: int = 512,
+    max_dup: int = 16,
+    backend: str = "pallas",
+    mean2d_dummy: jnp.ndarray | None = None,
+    bins=None,
+) -> RenderOutput:
+    """Rasterize already-projected Gaussians.
+
+    `bins` may be a precomputed TileBins to freeze the (non-differentiable)
+    tile assignment — e.g. to reuse binning across tracking iterations.
+    """
+    N = proj.mean2d.shape[0]
+    mean2d = proj.mean2d
+    if mean2d_dummy is not None:
+        mean2d = mean2d + mean2d_dummy
+
+    if bins is None:
+        bins = tile_bin(
+            mean2d, proj.radius, proj.depth, proj.valid,
+            img_w=cfg.img_w, img_h=cfg.img_h, tile_size=cfg.tile_size,
+            tile_capacity=tile_capacity, max_dup=max_dup,
+        )
+
+    opacity = jnp.where(proj.valid, proj.opacity, 0.0)
+    feats_full = jnp.stack(
+        [
+            mean2d[:, 0], mean2d[:, 1],
+            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+            opacity,
+            proj.rgb[:, 0], proj.rgb[:, 1], proj.rgb[:, 2],
+            proj.depth,
+        ],
+        axis=0,
+    )                                               # (10, N)
+    # Sentinel column N (zero opacity) for padded slots.
+    feats_full = jnp.concatenate(
+        [feats_full, jnp.zeros((10, 1), feats_full.dtype)], axis=1
+    )
+    feats = jnp.take(feats_full, bins.index_matrix, axis=1)  # (10, T, K)
+
+    out, touched = composite_tiles(feats, cfg, backend=backend)
+
+    img = _assemble_image(out, cfg)                 # (H, W, 8)
+    alpha = img[:, :, 4]
+    rgb = img[:, :, 0:3]
+    if bg is not None:
+        rgb = rgb + (1.0 - alpha)[:, :, None] * bg[None, None, :]
+
+    n_touched = jax.ops.segment_sum(
+        touched.reshape(-1),
+        bins.index_matrix.reshape(-1),
+        num_segments=N + 1,
+    )[:N]
+
+    return RenderOutput(
+        rgb=rgb,
+        depth=img[:, :, 3],
+        opacity=alpha,
+        n_touched=n_touched,
+        radii=proj.radius,
+        overflow=bins.overflow,
+    )
+
+
+def render(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,       # activated (exp)
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,    # activated (sigmoid), (N,)
+    rgbs: jnp.ndarray,
+    R_w2c: jnp.ndarray,
+    t_w2c: jnp.ndarray,
+    intr: Intrinsics,
+    *,
+    rho: jnp.ndarray | None = None,
+    theta: jnp.ndarray | None = None,
+    active: jnp.ndarray | None = None,
+    bg: jnp.ndarray | None = None,
+    tile_size: int = 16,
+    tile_capacity: int = 512,
+    max_dup: int = 16,
+    backend: str = "pallas",
+    mean2d_dummy: jnp.ndarray | None = None,
+    bins=None,
+) -> RenderOutput:
+    """Full differentiable render (parity: gaussian_renderer/__init__.py:26).
+
+    rho/theta are the se(3) camera-pose deltas (default zero); differentiate
+    w.r.t. them for tracking (the theta/rho gradient contract of the CUDA
+    rasterizer, gaussian_renderer/__init__.py:141-156).
+    """
+    if rho is None:
+        rho = jnp.zeros(3, means3d.dtype)
+    if theta is None:
+        theta = jnp.zeros(3, means3d.dtype)
+    cfg = make_raster_config(intr.width, intr.height, tile_size)
+    proj = project_gaussians(
+        means3d, scales, quats, opacities, rgbs,
+        R_w2c, t_w2c, rho, theta, intr, active=active,
+    )
+    return render_projected(
+        proj, cfg, bg=bg, tile_capacity=tile_capacity, max_dup=max_dup,
+        backend=backend, mean2d_dummy=mean2d_dummy, bins=bins,
+    )

@@ -1,0 +1,442 @@
+"""Tile-based alpha compositing: the Pallas rasterizer core.
+
+TPU-native replacement for the CUDA `diff-gaussian-rasterization-w-pose`
+render/backward kernels (contract documented at reference
+gaussian_splatting/gaussian_renderer/__init__.py:130-168). The differentiable
+boundary is `composite_tiles(feats)` where `feats` are per-(tile, slot)
+gathered 2D Gaussian features; gradients w.r.t. 3D parameters AND camera pose
+flow by JAX autodiff through the projection stage + gather that produce
+`feats` (see ops/projection.py, ops/render.py).
+
+Feature rows (axis 0 of `feats`, shape (10, T, K)):
+    0: u (pixel x of 2D mean)   5: opacity (activated, 0 for padding)
+    1: v                        6,7,8: r, g, b
+    2: conic_a                  9: depth
+    3: conic_b
+    4: conic_c
+
+Outputs: `out` (T, P, 8) with columns [r, g, b, depth, alpha, 0, 0, 0] per
+tile pixel (P = tile_size**2, row-major in tile), and `touched` (T, K) int32
+pixel counts per slot (the n_touched visibility signal, reference
+slam_tracker.py:414).
+
+Compositing math (per pixel, slots depth-sorted front-to-back):
+    power_k = -0.5 (a dx^2 + 2 b dx dy + c dy^2),  dx = x - u
+    alpha_k = clip to [1/255, 0.99]: opacity_k * exp(power_k); 0 outside
+    T_k     = prod_{j<k} (1 - alpha_j)
+    out     = sum_k alpha_k T_k * [r, g, b, depth, 1]
+No hard per-pixel termination (a TPU-hostile data-dependent branch); instead
+the kernels skip whole chunks once max-pixel transmittance underflows, which
+changes results by < 1e-6. The backward uses the suffix-sum identity
+    dL/dalpha_k = T_k g_k - S_k / (1 - alpha_k),  S_k = sum_{j>k} w_j g_j
+with prefix sums realized as triangular-matrix matmuls on the MXU.
+
+All coordinates inside a tile are tile-local to keep the quadratic forms
+well-conditioned in fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_EPS = 1.0 / 255.0
+ALPHA_MAX = 0.99
+TOUCH_T_MIN = 1e-4          # transmittance floor for the n_touched signal
+CHUNK = 128                 # slots processed per inner step (lane width)
+LOG_SKIP = -16.0            # skip chunks once max log-transmittance < this
+
+
+class RasterConfig(NamedTuple):
+    tiles_x: int
+    tiles_y: int
+    tile_size: int
+    img_w: int
+    img_h: int
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def pixels(self) -> int:
+        return self.tile_size * self.tile_size
+
+
+def make_raster_config(img_w: int, img_h: int, tile_size: int = 16) -> RasterConfig:
+    return RasterConfig(
+        tiles_x=-(-img_w // tile_size),
+        tiles_y=-(-img_h // tile_size),
+        tile_size=tile_size,
+        img_w=img_w,
+        img_h=img_h,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX reference implementation (correctness oracle; autodiff backward).
+# ---------------------------------------------------------------------------
+
+
+def _tile_pixel_coords(cfg: RasterConfig, dtype=jnp.float32):
+    """Tile-local pixel-center coords (P,) each, row-major."""
+    ts = cfg.tile_size
+    p = jnp.arange(cfg.pixels)
+    x = (p % ts).astype(dtype) + 0.5
+    y = (p // ts).astype(dtype) + 0.5
+    return x, y
+
+
+def _tile_origins(cfg: RasterConfig, dtype=jnp.float32):
+    t = jnp.arange(cfg.num_tiles)
+    ox = (t % cfg.tiles_x).astype(dtype) * cfg.tile_size
+    oy = (t // cfg.tiles_x).astype(dtype) * cfg.tile_size
+    return ox, oy
+
+
+def composite_tiles_ref(feats: jnp.ndarray, cfg: RasterConfig):
+    """Vectorized pure-JAX compositing. Differentiable by autodiff.
+
+    feats: (10, T, K) -> (out (T, P, 8), touched (T, K) int32)
+    """
+    T, K = feats.shape[1], feats.shape[2]
+    px, py = _tile_pixel_coords(cfg)         # (P,)
+    ox, oy = _tile_origins(cfg)              # (T,)
+
+    def one_tile(f, o_x, o_y):
+        u = f[0] - o_x                        # (K,) tile-local
+        v = f[1] - o_y
+        a, b, c = f[2], f[3], f[4]
+        opa = f[5]
+        dx = px[:, None] - u[None, :]         # (P, K)
+        dy = py[:, None] - v[None, :]
+        power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+        expp = jnp.exp(jnp.minimum(power, 0.0))
+        alpha_raw = opa[None, :] * expp
+        ok = (power <= 0.0) & (alpha_raw >= ALPHA_EPS)
+        alpha = jnp.where(ok, jnp.minimum(alpha_raw, ALPHA_MAX), 0.0)
+        one_m = 1.0 - alpha
+        Tk = jnp.cumprod(
+            jnp.concatenate([jnp.ones((alpha.shape[0], 1)), one_m[:, :-1]], axis=1),
+            axis=1,
+        )                                     # (P, K) exclusive
+        w = alpha * Tk
+        pix_valid = ((o_x + px - 0.5) < cfg.img_w) & ((o_y + py - 0.5) < cfg.img_h)
+        colors = jnp.stack(
+            [f[6], f[7], f[8], f[9], jnp.ones_like(f[9])], axis=1
+        )                                     # (K, 5)
+        acc = w @ colors                      # (P, 5)
+        out = jnp.concatenate([acc, jnp.zeros((acc.shape[0], 3))], axis=1)
+        touched = jnp.sum(
+            (ok & (Tk > TOUCH_T_MIN) & pix_valid[:, None]).astype(jnp.int32), axis=0
+        )
+        return out, touched
+
+    return jax.vmap(one_tile, in_axes=(1, 0, 0))(feats, ox, oy)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels.
+# ---------------------------------------------------------------------------
+
+
+def _pix_basis(cfg: RasterConfig):
+    """Per-pixel (P, 6) quadratic basis [x^2, xy, y^2, x, y, 1] and (P, 1)
+    coords, tile-local (built in-kernel from iota)."""
+    ts = cfg.tile_size
+    P = cfg.pixels
+    p = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    x = (p % ts).astype(jnp.float32) + 0.5
+    y = (p // ts).astype(jnp.float32) + 0.5
+    basis = jnp.concatenate([x * x, x * y, y * y, x, y, jnp.ones_like(x)], axis=1)
+    return x, y, basis
+
+
+def _tri_matrices():
+    """Strict / inclusive upper-triangular (CHUNK, CHUNK) prefix matrices:
+    (x @ strict)[p,k] = sum_{j<k} x[p,j]; (x @ incl) includes j==k."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    strict = (i < j).astype(jnp.float32)
+    incl = (i <= j).astype(jnp.float32)
+    return strict, incl
+
+
+def _chunk_alpha(feats_ref, ck, ox, oy, x, y):
+    """Shared per-chunk alpha computation. Returns tile-local (u, v), conic
+    rows, opacity row, exp(power), alpha (all (P, CHUNK) or (1, CHUNK))."""
+    sl = pl.ds(ck * CHUNK, CHUNK)
+    u = feats_ref[0, :, sl] - ox             # (1, CHUNK) tile-local
+    v = feats_ref[1, :, sl] - oy
+    a = feats_ref[2, :, sl]
+    b = feats_ref[3, :, sl]
+    c = feats_ref[4, :, sl]
+    opa = feats_ref[5, :, sl]
+    dx = x - u                               # (P, CHUNK)
+    dy = y - v
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    expp = jnp.exp(jnp.minimum(power, 0.0))
+    alpha_raw = opa * expp
+    ok = (power <= 0.0) & (alpha_raw >= ALPHA_EPS)
+    alpha = jnp.where(ok, jnp.minimum(alpha_raw, ALPHA_MAX), 0.0)
+    return u, v, a, b, c, opa, expp, alpha_raw, ok, alpha
+
+
+def _fwd_kernel(feats_ref, out_ref, touched_ref, *, cfg: RasterConfig, K: int):
+    P = cfg.pixels
+    t = pl.program_id(0)
+    ox = (jax.lax.rem(t, cfg.tiles_x) * cfg.tile_size).astype(jnp.float32)
+    oy = (jax.lax.div(t, cfg.tiles_x) * cfg.tile_size).astype(jnp.float32)
+    x, y, _ = _pix_basis(cfg)
+    strict, _ = _tri_matrices()
+    pix_valid = ((ox + x - 0.5) < cfg.img_w) & ((oy + y - 0.5) < cfg.img_h)
+
+    n_chunks = K // CHUNK
+
+    def body(ck, carry):
+        logT, acc = carry                     # (P,1), (P,8)
+
+        def live(carry):
+            logT, acc = carry
+            _, _, _, _, _, _, _, _, ok, alpha = _chunk_alpha(
+                feats_ref, ck, ox, oy, x, y
+            )
+            log1m = jnp.log1p(-alpha)
+            excl = jax.lax.dot_general(
+                log1m, strict, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            Tk = jnp.exp(logT + excl)
+            w = alpha * Tk
+            sl = pl.ds(ck * CHUNK, CHUNK)
+            colors_t = jnp.concatenate(
+                [
+                    feats_ref[6, :, sl], feats_ref[7, :, sl], feats_ref[8, :, sl],
+                    feats_ref[9, :, sl], jnp.ones((1, CHUNK), jnp.float32),
+                    jnp.zeros((3, CHUNK), jnp.float32),
+                ],
+                axis=0,
+            )                                 # (8, CHUNK)
+            acc = acc + jax.lax.dot_general(
+                w, colors_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            touched_ref[:, sl] = jnp.sum(
+                (ok & (Tk > TOUCH_T_MIN) & pix_valid).astype(jnp.int32),
+                axis=0, keepdims=True,
+            )
+            logT = logT + jnp.sum(log1m, axis=1, keepdims=True)
+            return logT, acc
+
+        def dead(carry):
+            sl = pl.ds(ck * CHUNK, CHUNK)
+            touched_ref[:, sl] = jnp.zeros((1, CHUNK), jnp.int32)
+            return carry
+
+        return jax.lax.cond(jnp.max(logT) > LOG_SKIP, live, dead, carry)
+
+    logT0 = jnp.zeros((P, 1), jnp.float32)
+    acc0 = jnp.zeros((P, 8), jnp.float32)
+    _, acc = jax.lax.fori_loop(0, n_chunks, body, (logT0, acc0))
+    out_ref[0] = acc
+
+
+def _bwd_kernel(feats_ref, baux_ref, dfeats_ref, *, cfg: RasterConfig, K: int):
+    """baux: (1, P, 8) columns [g_r, g_g, g_b, g_depth, g_alpha, A, 0, 0]
+    where A = per-pixel total sum_j w_j g_j (precomputed outside)."""
+    P = cfg.pixels
+    t = pl.program_id(0)
+    ox = (jax.lax.rem(t, cfg.tiles_x) * cfg.tile_size).astype(jnp.float32)
+    oy = (jax.lax.div(t, cfg.tiles_x) * cfg.tile_size).astype(jnp.float32)
+    x, y, basis = _pix_basis(cfg)
+    strict, incl = _tri_matrices()
+
+    gvec = baux_ref[0, :, 0:5]                # (P, 5)
+    A = baux_ref[0, :, 5:6]                   # (P, 1)
+
+    n_chunks = K // CHUNK
+
+    def body(ck, carry):
+        logT, wg_pref = carry                 # (P,1), (P,1)
+
+        def live(carry):
+            logT, wg_pref = carry
+            u, v, a, b, c, opa, expp, alpha_raw, ok, alpha = _chunk_alpha(
+                feats_ref, ck, ox, oy, x, y
+            )
+            log1m = jnp.log1p(-alpha)
+            excl = jax.lax.dot_general(
+                log1m, strict, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            Tk = jnp.exp(logT + excl)
+            w = alpha * Tk
+
+            sl = pl.ds(ck * CHUNK, CHUNK)
+            # Per-(pixel, slot) cotangent of w: g = c.g_rgb + d*g_d + g_a.
+            props = jnp.concatenate(
+                [
+                    feats_ref[6, :, sl], feats_ref[7, :, sl], feats_ref[8, :, sl],
+                    feats_ref[9, :, sl], jnp.ones((1, CHUNK), jnp.float32),
+                ],
+                axis=0,
+            )                                 # (5, CHUNK)
+            g = jax.lax.dot_general(
+                gvec, props, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                 # (P, CHUNK)
+            wg = w * g
+            pref = wg_pref + jax.lax.dot_general(
+                wg, incl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                 # inclusive prefix incl. carry
+            S = A - pref
+            dalpha = Tk * g - S / (1.0 - alpha)
+            dalpha_raw = jnp.where(ok & (alpha_raw < ALPHA_MAX), dalpha, 0.0)
+            dpower = dalpha_raw * alpha_raw
+            d_opa = jnp.sum(dalpha_raw * expp, axis=0, keepdims=True)  # (1,CHUNK)
+
+            # d color/depth: sum_p w * g_col  -> (5, CHUNK) rows.
+            dprops = jax.lax.dot_general(
+                gvec, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                 # (5, CHUNK)
+
+            # Moments of dpower against the pixel quadratic basis -> (6, CHUNK):
+            # rows [xx, xy, yy, x, y, 1].
+            m = jax.lax.dot_general(
+                basis, dpower, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            Rxx, Rxy, Ryy = m[0:1], m[1:2], m[2:3]
+            Rx, Ry, R0 = m[3:4], m[4:5], m[5:6]
+            # power = -0.5(a dx^2 + 2b dx dy + c dy^2), dx = x - u (tile-local)
+            du = a * (Rx - u * R0) + b * (Ry - v * R0)
+            dv = b * (Rx - u * R0) + c * (Ry - v * R0)
+            da = -0.5 * (Rxx - 2.0 * u * Rx + u * u * R0)
+            db = -(Rxy - u * Ry - v * Rx + u * v * R0)
+            dc = -0.5 * (Ryy - 2.0 * v * Ry + v * v * R0)
+
+            dfeats_ref[0, :, sl] = du
+            dfeats_ref[1, :, sl] = dv
+            dfeats_ref[2, :, sl] = da
+            dfeats_ref[3, :, sl] = db
+            dfeats_ref[4, :, sl] = dc
+            dfeats_ref[5, :, sl] = d_opa
+            dfeats_ref[6, :, sl] = dprops[0:1]
+            dfeats_ref[7, :, sl] = dprops[1:2]
+            dfeats_ref[8, :, sl] = dprops[2:3]
+            dfeats_ref[9, :, sl] = dprops[3:4]
+
+            logT = logT + jnp.sum(log1m, axis=1, keepdims=True)
+            wg_pref = wg_pref + jnp.sum(wg, axis=1, keepdims=True)
+            return logT, wg_pref
+
+        def dead(carry):
+            sl = pl.ds(ck * CHUNK, CHUNK)
+            dfeats_ref[:, :, sl] = jnp.zeros((10, 1, CHUNK), jnp.float32)
+            return carry
+
+        return jax.lax.cond(jnp.max(logT) > LOG_SKIP, live, dead, carry)
+
+    logT0 = jnp.zeros((P, 1), jnp.float32)
+    wg0 = jnp.zeros((P, 1), jnp.float32)
+    jax.lax.fori_loop(0, n_chunks, body, (logT0, wg0))
+
+
+def _fwd_pallas(feats: jnp.ndarray, cfg: RasterConfig):
+    T, K = feats.shape[1], feats.shape[2]
+    P = cfg.pixels
+    kern = functools.partial(_fwd_kernel, cfg=cfg, K=K)
+    out, touched = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((10, 1, K), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, P, 8), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, P, 8), jnp.float32),
+            jax.ShapeDtypeStruct((T, K), jnp.int32),
+        ],
+        interpret=_interpret_mode(),
+    )(feats)
+    return out, touched
+
+
+def _bwd_pallas(feats: jnp.ndarray, baux: jnp.ndarray, cfg: RasterConfig):
+    T, K = feats.shape[1], feats.shape[2]
+    P = cfg.pixels
+    kern = functools.partial(_bwd_kernel, cfg=cfg, K=K)
+    dfeats = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((10, 1, K), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 8), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((10, 1, K), lambda t: (0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((10, T, K), jnp.float32),
+        interpret=_interpret_mode(),
+    )(feats, baux)
+    return dfeats
+
+
+def _interpret_mode() -> bool:
+    """Pallas TPU kernels run interpreted on CPU (tests use an 8-device CPU
+    mesh; there is no Mosaic CPU backend)."""
+    if os.environ.get("MONOGS_PALLAS_INTERPRET", "") == "1":
+        return True
+    return jax.default_backend() != "tpu"
+
+
+# --- custom_vjp wrapper -----------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def composite_tiles_pallas(feats: jnp.ndarray, cfg: RasterConfig):
+    return _fwd_pallas(feats, cfg)
+
+
+def _composite_fwd(feats, cfg):
+    out, touched = _fwd_pallas(feats, cfg)
+    return (out, touched), (feats, out)
+
+
+def _composite_bwd(cfg, res, cotangents):
+    feats, out = res
+    g_out, _ = cotangents  # touched is non-differentiable
+    g5 = g_out[:, :, 0:5]
+    # Per-pixel total A = sum_j w_j g_j, recoverable from forward outputs:
+    # out[...,0:5] = sum_j w_j [r, g, b, d, 1]_j.
+    A = jnp.sum(out[:, :, 0:5] * g5, axis=-1, keepdims=True)
+    baux = jnp.concatenate(
+        [g5, A, jnp.zeros_like(g_out[:, :, 0:2])], axis=-1
+    )
+    dfeats = _bwd_pallas(feats, baux, cfg)
+    return (dfeats,)
+
+
+composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)
+
+
+def composite_tiles(feats: jnp.ndarray, cfg: RasterConfig, backend: str = "pallas"):
+    """Dispatch: 'pallas' (TPU kernels; interpreted off-TPU) or 'ref'
+    (pure-JAX oracle)."""
+    if backend == "ref":
+        return composite_tiles_ref(feats, cfg)
+    return composite_tiles_pallas(feats, cfg)

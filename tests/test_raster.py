@@ -1,0 +1,274 @@
+"""Rasterizer correctness: oracle vs brute force, Pallas vs oracle, gradients
+vs finite differences (SURVEY.md §4 test-strategy implication)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monogs_tpu.ops import lie
+from monogs_tpu.ops.binning import tile_bin
+from monogs_tpu.ops.graphics import Intrinsics
+from monogs_tpu.ops.projection import ALPHA_EPS, project_gaussians
+from monogs_tpu.ops.render import render
+from monogs_tpu.ops.tile_raster import (
+    ALPHA_MAX,
+    composite_tiles_pallas,
+    composite_tiles_ref,
+    make_raster_config,
+)
+
+W, H = 64, 48
+TILE = 16
+CAP = 128  # tile capacity (one CHUNK)
+
+
+def _intr():
+    return Intrinsics(
+        fx=jnp.float32(60.0), fy=jnp.float32(60.0),
+        cx=jnp.float32(W / 2), cy=jnp.float32(H / 2), width=W, height=H,
+    )
+
+
+def _scene(n=40, seed=0, spread=0.5):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 6)
+    means = jnp.concatenate(
+        [
+            jax.random.uniform(ks[0], (n, 2), minval=-spread, maxval=spread),
+            jax.random.uniform(ks[1], (n, 1), minval=1.0, maxval=3.0),
+        ],
+        axis=1,
+    )
+    scales = jnp.exp(jax.random.uniform(ks[2], (n, 3), minval=-3.5, maxval=-2.5))
+    quats = jax.random.normal(ks[3], (n, 4)) + jnp.array([2.0, 0, 0, 0])
+    opac = jax.nn.sigmoid(jax.random.normal(ks[4], (n,)))
+    rgb = jax.random.uniform(ks[5], (n, 3))
+    return means, scales, quats, opac, rgb
+
+
+def _pose():
+    return jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32)
+
+
+def _brute_force(means, scales, quats, opac, rgb, R, t, intr):
+    """Independent per-pixel renderer with the same box-cull as binning."""
+    proj = project_gaussians(
+        means, scales, quats, opac, rgb, R, t,
+        jnp.zeros(3), jnp.zeros(3), intr,
+    )
+    mean2d = np.asarray(proj.mean2d)
+    conic = np.asarray(proj.conic)
+    depth = np.asarray(proj.depth)
+    radius = np.asarray(proj.radius)
+    valid = np.asarray(proj.valid)
+    opacity = np.where(valid, np.asarray(proj.opacity), 0.0)
+    colors = np.asarray(proj.rgb)
+
+    order = np.argsort(depth, kind="stable")
+    img = np.zeros((H, W, 3))
+    dep = np.zeros((H, W))
+    acc = np.zeros((H, W))
+    for py in range(H):
+        for px in range(W):
+            x, y = px + 0.5, py + 0.5
+            T = 1.0
+            for i in order:
+                if not valid[i]:
+                    continue
+                # binning box cull at tile granularity
+                tx, ty = px // TILE, py // TILE
+                x0 = np.clip(np.floor((mean2d[i, 0] - radius[i]) / TILE), 0, None)
+                x1 = np.ceil((mean2d[i, 0] + radius[i] + 1) / TILE)
+                y0 = np.clip(np.floor((mean2d[i, 1] - radius[i]) / TILE), 0, None)
+                y1 = np.ceil((mean2d[i, 1] + radius[i] + 1) / TILE)
+                if not (x0 <= tx < x1 and y0 <= ty < y1):
+                    continue
+                dx, dy = x - mean2d[i, 0], y - mean2d[i, 1]
+                a, b, c = conic[i]
+                power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+                if power > 0:
+                    continue
+                alpha = opacity[i] * np.exp(power)
+                if alpha < ALPHA_EPS:
+                    continue
+                alpha = min(alpha, ALPHA_MAX)
+                w = alpha * T
+                img[py, px] += w * colors[i]
+                dep[py, px] += w * depth[i]
+                acc[py, px] += w
+                T *= 1.0 - alpha
+    return img, dep, acc
+
+
+@functools.lru_cache(maxsize=1)
+def _rendered():
+    intr = _intr()
+    means, scales, quats, opac, rgb = _scene()
+    R, t = _pose()
+    out = render(
+        means, scales, quats, opac, rgb, R, t, intr,
+        tile_capacity=CAP, backend="ref",
+    )
+    bf = _brute_force(means, scales, quats, opac, rgb, R, t, intr)
+    return out, bf
+
+
+def test_tiled_matches_brute_force():
+    out, (img, dep, acc) = _rendered()
+    assert float(out.overflow) == 0
+    np.testing.assert_allclose(out.rgb, img, atol=2e-5)
+    np.testing.assert_allclose(out.depth, dep, atol=1e-4)
+    np.testing.assert_allclose(out.opacity, acc, atol=2e-5)
+
+
+def test_image_nontrivial():
+    out, _ = _rendered()
+    assert float(jnp.max(out.opacity)) > 0.3
+    assert int(jnp.sum(out.n_touched > 0)) > 10
+
+
+def test_pallas_interpret_matches_ref():
+    intr = _intr()
+    means, scales, quats, opac, rgb = _scene(seed=1)
+    R, t = _pose()
+    o_ref = render(means, scales, quats, opac, rgb, R, t, intr,
+                   tile_capacity=CAP, backend="ref")
+    o_pal = render(means, scales, quats, opac, rgb, R, t, intr,
+                   tile_capacity=CAP, backend="pallas")
+    np.testing.assert_allclose(o_pal.rgb, o_ref.rgb, atol=1e-5)
+    np.testing.assert_allclose(o_pal.depth, o_ref.depth, atol=1e-4)
+    np.testing.assert_allclose(o_pal.opacity, o_ref.opacity, atol=1e-5)
+    np.testing.assert_array_equal(o_pal.n_touched, o_ref.n_touched)
+
+
+def _loss_fn(backend, freeze_bins=False):
+    intr = _intr()
+    # Keep Gaussians strictly interior when bins are frozen, so no
+    # culling-mask step function fires inside the FD stencil.
+    means, scales, quats, opac, rgb = _scene(
+        seed=2, spread=0.25 if freeze_bins else 0.5
+    )
+    R, t = _pose()
+    target = jnp.zeros((H, W, 3))
+
+    fixed_bins = None
+    if freeze_bins:
+        # Binning (tile assignment / culling / sort) is intentionally
+        # non-differentiable (stop_gradient, same as the CUDA rasterizer);
+        # freezing it at the base point makes the loss smooth so finite
+        # differences measure the same function autodiff does.
+        from monogs_tpu.ops.projection import project_gaussians as _pg
+
+        proj0 = _pg(means, scales, quats, opac, rgb, R, t,
+                    jnp.zeros(3), jnp.zeros(3), intr)
+        fixed_bins = tile_bin(
+            proj0.mean2d, proj0.radius, proj0.depth, proj0.valid,
+            img_w=W, img_h=H, tile_size=TILE, tile_capacity=CAP,
+        )
+
+    def loss(means, scales, quats, opac, rgb, rho, theta):
+        out = render(
+            means, scales, quats, opac, rgb, R, t, intr,
+            rho=rho, theta=theta, tile_capacity=CAP, backend=backend,
+            bins=fixed_bins,
+        )
+        return (
+            jnp.mean((out.rgb - target) ** 2)
+            + 0.1 * jnp.mean(out.depth)
+            + 0.05 * jnp.mean(out.opacity)
+        )
+
+    args = (means, scales, quats, opac, rgb, jnp.zeros(3), jnp.zeros(3))
+    return loss, args
+
+
+def test_pallas_gradients_match_ref_gradients():
+    loss_r, args = _loss_fn("ref")
+    loss_p, _ = _loss_fn("pallas")
+    g_ref = jax.grad(loss_r, argnums=tuple(range(7)))(*args)
+    g_pal = jax.grad(loss_p, argnums=tuple(range(7)))(*args)
+    names = ["means", "scales", "quats", "opac", "rgb", "rho", "theta"]
+    for n, gr, gp in zip(names, g_ref, g_pal):
+        np.testing.assert_allclose(gp, gr, rtol=2e-3, atol=1e-6, err_msg=n)
+
+
+@pytest.mark.parametrize("argnum,name", [(5, "rho"), (6, "theta"), (0, "means")])
+def test_gradients_finite_difference(argnum, name):
+    """Float64 central differences against autodiff, with binning frozen
+    (binning is non-differentiable by design, like the CUDA rasterizer)."""
+    with jax.enable_x64(True):
+        loss, args = _loss_fn("ref", freeze_bins=True)
+        args = tuple(jnp.asarray(a, jnp.float64) for a in args)
+        g = jax.grad(loss, argnums=argnum)(*args)
+        x0 = args[argnum]
+        rng = np.random.RandomState(0)
+        flat = np.asarray(x0).reshape(-1)
+        idxs = rng.choice(flat.size, size=min(6, flat.size), replace=False)
+        eps = 1e-6
+        for i in idxs:
+            e = jnp.zeros_like(x0).reshape(-1).at[i].set(eps).reshape(x0.shape)
+            lp = loss(*args[:argnum], x0 + e, *args[argnum + 1:])
+            lm = loss(*args[:argnum], x0 - e, *args[argnum + 1:])
+            fd = (lp - lm) / (2 * eps)
+            gi = np.asarray(g).reshape(-1)[i]
+            np.testing.assert_allclose(gi, fd, rtol=1e-4, atol=1e-8,
+                                       err_msg=f"{name}[{i}]")
+
+
+def test_pose_gradient_direction():
+    """Moving the camera toward a known-better pose must reduce the loss."""
+    intr = _intr()
+    means, scales, quats, opac, rgb = _scene(seed=3)
+    R_gt, t_gt = _pose()
+    target = render(means, scales, quats, opac, rgb, R_gt, t_gt, intr,
+                    tile_capacity=CAP, backend="ref").rgb
+    # Perturbed start pose.
+    R0, t0 = lie.apply_pose_delta(
+        R_gt, t_gt, jnp.array([0.02, -0.01, 0.015]), jnp.array([0.01, 0.005, -0.01])
+    )
+
+    def loss(delta):
+        out = render(
+            means, scales, quats, opac, rgb, R0, t0, intr,
+            rho=delta[:3], theta=delta[3:], tile_capacity=CAP, backend="ref",
+        )
+        return jnp.mean(jnp.abs(out.rgb - target))
+
+    d0 = jnp.zeros(6)
+    l0 = loss(d0)
+    g = jax.grad(loss)(d0)
+    assert float(jnp.linalg.norm(g)) > 0
+    l1 = loss(d0 - 1e-2 * g / jnp.linalg.norm(g))
+    assert float(l1) < float(l0)
+
+
+def test_binning_overflow_reported():
+    intr = _intr()
+    means, scales, quats, opac, rgb = _scene(n=40)
+    # Giant gaussians covering many tiles with tiny max_dup -> overflow.
+    proj = project_gaussians(
+        means, jnp.exp(jnp.zeros((40, 3))), quats, opac, rgb,
+        jnp.eye(3), jnp.zeros(3), jnp.zeros(3), jnp.zeros(3), _intr(),
+    )
+    bins = tile_bin(
+        proj.mean2d, proj.radius, proj.depth, proj.valid,
+        img_w=W, img_h=H, tile_size=TILE, tile_capacity=CAP, max_dup=2,
+    )
+    assert int(bins.overflow) > 0
+
+
+def test_empty_scene_renders_background():
+    intr = _intr()
+    n = 8
+    out = render(
+        jnp.zeros((n, 3)) + jnp.array([0.0, 0.0, -5.0]),  # behind camera
+        jnp.full((n, 3), 0.01), jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1)),
+        jnp.full((n,), 0.9), jnp.zeros((n, 3)),
+        jnp.eye(3), jnp.zeros(3), intr,
+        bg=jnp.array([0.2, 0.3, 0.4]), tile_capacity=CAP, backend="ref",
+    )
+    np.testing.assert_allclose(out.rgb[0, 0], jnp.array([0.2, 0.3, 0.4]), atol=1e-6)
+    assert float(jnp.max(out.opacity)) == 0.0
