@@ -1,0 +1,39 @@
+"""Datasets: TUM / Replica / EuRoC / Kubric / DAVIS / RealSense / synthetic.
+
+Factory (parity: reference utils/dataset.py:823-837).
+"""
+
+from __future__ import annotations
+
+
+def load_dataset(config: dict):
+    typ = config["Dataset"]["type"]
+    if typ == "tum":
+        from .tum import TUMDataset
+
+        return TUMDataset(config)
+    if typ == "replica":
+        from .replica import ReplicaDataset
+
+        return ReplicaDataset(config)
+    if typ == "euroc":
+        from .euroc import EurocDataset
+
+        return EurocDataset(config)
+    if typ == "kubric":
+        from .kubric import KubricDataset
+
+        return KubricDataset(config)
+    if typ == "davis":
+        from .davis import DavisDataset
+
+        return DavisDataset(config)
+    if typ == "realsense":
+        from .realsense import RealsenseDataset
+
+        return RealsenseDataset(config)
+    if typ == "synthetic":
+        from .synthetic import SyntheticDataset
+
+        return SyntheticDataset(config)
+    raise ValueError(f"Unknown dataset type: {typ}")

@@ -187,6 +187,7 @@ def extend_from_keyframe(
         cond = (depth < render_depth) & (err > 50.0 * median_err)
         valid = valid & (opa_mask | cond)
 
+    max_new = min(max_new, H * W)
     flat_valid = valid.reshape(-1)
     n_valid = jnp.sum(flat_valid.astype(jnp.int32))
     n_keep = jnp.minimum(n_valid // factor, max_new)

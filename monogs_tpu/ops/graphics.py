@@ -16,16 +16,16 @@ import jax.numpy as jnp
 
 
 class Intrinsics(NamedTuple):
-    """Pinhole intrinsics. width/height are static Python ints (they define
-    array shapes under jit); focal/principal point are traceable arrays.
-
-    Parity: reference utils/camera_utils.py:8-49 (CameraIntrinsics).
+    """Pinhole intrinsics — all plain Python numbers, so the whole tuple is
+    hashable and passes through jit as a *static* argument (width/height
+    define array shapes; fx/fy are frozen in the reference too,
+    utils/camera_utils.py:26-28 "requires_grad=False").
     """
 
-    fx: jnp.ndarray
-    fy: jnp.ndarray
-    cx: jnp.ndarray
-    cy: jnp.ndarray
+    fx: float
+    fy: float
+    cx: float
+    cy: float
     width: int
     height: int
 

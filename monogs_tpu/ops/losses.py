@@ -96,16 +96,20 @@ def get_loss_tracking(
     grad_mask: jnp.ndarray,       # (H, W) bool
     exposure_a: jnp.ndarray,      # scalar
     exposure_b: jnp.ndarray,      # scalar
+    opacity_threshold: float = 0.99,
 ) -> jnp.ndarray:
     """Tracking loss (slam_utils.py:58-98): opacity-weighted masked L1 on
     exposure-corrected RGB + masked L1 depth; 0.5 * l1_rgb + l1_depth.
 
-    Note: the reference (a mid-refactor fork) computes
+    Notes vs the reference: (1) the fork computes
     `mean(|diff*mask|) * mean(opacity)` due to a misplaced .mean(); we
     implement the intended elementwise weighting from upstream MonoGS:
-    mean(opacity * |diff| * mask).
+    mean(opacity * |diff| * mask). (2) opacity_threshold (reference
+    hard-codes 0.99) is configurable — against a map whose opacity has not
+    saturated yet, 0.99 gates out every pixel and tracking gets zero
+    gradient.
     """
-    opacity_mask = render_opacity > 0.99
+    opacity_mask = render_opacity > opacity_threshold
     rgb = jnp.exp(exposure_a) * render_rgb + exposure_b
     rgb_mask = (
         gt_mask.astype(rgb.dtype)

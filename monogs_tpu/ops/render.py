@@ -24,7 +24,12 @@ import jax.numpy as jnp
 from .binning import tile_bin
 from .graphics import Intrinsics
 from .projection import ProjectedGaussians, project_gaussians
-from .tile_raster import RasterConfig, composite_tiles, make_raster_config
+from .tile_raster import (
+    RasterConfig,
+    composite_tiles,
+    make_raster_config,
+    pack_features,
+)
 
 
 class RenderOutput(NamedTuple):
@@ -75,21 +80,9 @@ def render_projected(
         )
 
     opacity = jnp.where(proj.valid, proj.opacity, 0.0)
-    feats_full = jnp.stack(
-        [
-            mean2d[:, 0], mean2d[:, 1],
-            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-            opacity,
-            proj.rgb[:, 0], proj.rgb[:, 1], proj.rgb[:, 2],
-            proj.depth,
-        ],
-        axis=0,
-    )                                               # (10, N)
-    # Sentinel column N (zero opacity) for padded slots.
-    feats_full = jnp.concatenate(
-        [feats_full, jnp.zeros((10, 1), feats_full.dtype)], axis=1
-    )
-    feats = jnp.take(feats_full, bins.index_matrix, axis=1)  # (10, T, K)
+    feats = pack_features(
+        mean2d, proj.conic, opacity, proj.rgb, proj.depth, bins.index_matrix
+    )                                               # (T, 16, K)
 
     out, touched = composite_tiles(feats, cfg, backend=backend)
 
@@ -112,6 +105,97 @@ def render_projected(
         n_touched=n_touched,
         radii=proj.radius,
         overflow=bins.overflow,
+    )
+
+
+class WindowRenderOutput(NamedTuple):
+    rgb: jnp.ndarray        # (W, H, W_img, 3)
+    depth: jnp.ndarray      # (W, H, W_img)
+    opacity: jnp.ndarray    # (W, H, W_img)
+    n_touched: jnp.ndarray  # (W, N)
+    radii: jnp.ndarray      # (W, N)
+    overflow: jnp.ndarray   # () summed over window
+
+
+def render_window(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    rgbs: jnp.ndarray,
+    Rs: jnp.ndarray,           # (W, 3, 3) per-keyframe w2c
+    ts: jnp.ndarray,           # (W, 3)
+    intr: Intrinsics,
+    *,
+    rhos: jnp.ndarray,         # (W, 3) per-keyframe se(3) deltas
+    thetas: jnp.ndarray,       # (W, 3)
+    active: jnp.ndarray | None = None,
+    bg: jnp.ndarray | None = None,
+    tile_size: int = 16,
+    tile_capacity: int = 512,
+    max_dup: int = 16,
+    backend: str = "pallas",
+    mean2d_dummy: jnp.ndarray | None = None,  # (W, N, 2) per-kf screen hook
+) -> WindowRenderOutput:
+    """Batched multi-view render: the mapper's whole keyframe window in ONE
+    rasterizer launch.
+
+    TPU-first replacement for the reference mapper's serial per-keyframe
+    render loop (slam_mapper.py:273-322): every keyframe's tiles are
+    concatenated along the kernel grid axis (the kernels wrap tile indices
+    per image), so the window renders as one Pallas invocation and one
+    backward — the unit that later shards across devices (window/CP
+    parallelism, SURVEY.md §2.3).
+    """
+    Wn = Rs.shape[0]
+    N = means3d.shape[0]
+    cfg = make_raster_config(intr.width, intr.height, tile_size)
+    if mean2d_dummy is None:
+        mean2d_dummy = jnp.zeros((Wn, N, 2), means3d.dtype)
+
+    def per_kf(R, t, rho, theta, dummy):
+        proj = project_gaussians(
+            means3d, scales, quats, opacities, rgbs, R, t, rho, theta, intr,
+            active=active,
+        )
+        mean2d = proj.mean2d + dummy
+        bins = tile_bin(
+            mean2d, proj.radius, proj.depth, proj.valid,
+            img_w=cfg.img_w, img_h=cfg.img_h, tile_size=cfg.tile_size,
+            tile_capacity=tile_capacity, max_dup=max_dup,
+        )
+        opa = jnp.where(proj.valid, proj.opacity, 0.0)
+        feats = pack_features(
+            mean2d, proj.conic, opa, proj.rgb, proj.depth, bins.index_matrix
+        )                                           # (T, 16, K)
+        return feats, bins.index_matrix, proj.radius, bins.overflow
+
+    feats, idx_mats, radii, overflows = jax.vmap(per_kf)(
+        Rs, ts, rhos, thetas, mean2d_dummy
+    )                                               # (W,T,16,K), (W,T,K), ...
+
+    T, K = feats.shape[1], feats.shape[3]
+    feats_all = feats.reshape(Wn * T, feats.shape[2], K)
+    out, touched = composite_tiles(feats_all, cfg, backend=backend)
+
+    imgs = jax.vmap(lambda o: _assemble_image(o, cfg))(
+        out.reshape(Wn, T, cfg.pixels, 8)
+    )                                               # (W, H, W_img, 8)
+    alpha = imgs[:, :, :, 4]
+    rgb = imgs[:, :, :, 0:3]
+    if bg is not None:
+        rgb = rgb + (1.0 - alpha)[..., None] * bg[None, None, None, :]
+
+    n_touched = jax.vmap(
+        lambda tch, idx: jax.ops.segment_sum(
+            tch.reshape(-1), idx.reshape(-1), num_segments=N + 1
+        )[:N]
+    )(touched.reshape(Wn, T, K), idx_mats)
+
+    return WindowRenderOutput(
+        rgb=rgb, depth=imgs[:, :, :, 3], opacity=alpha,
+        n_touched=n_touched, radii=radii,
+        overflow=jnp.sum(overflows),
     )
 
 

@@ -8,7 +8,8 @@ gathered 2D Gaussian features; gradients w.r.t. 3D parameters AND camera pose
 flow by JAX autodiff through the projection stage + gather that produce
 `feats` (see ops/projection.py, ops/render.py).
 
-Feature rows (axis 0 of `feats`, shape (10, T, K)):
+Feature rows (axis 1 of `feats`, shape (T, 16, K) — 16 sublane rows to meet
+the TPU (8, 128) block-divisibility rule, rows 10-15 spare):
     0: u (pixel x of 2D mean)   5: opacity (activated, 0 for padding)
     1: v                        6,7,8: r, g, b
     2: conic_a                  9: depth
@@ -27,11 +28,15 @@ Compositing math (per pixel, slots depth-sorted front-to-back):
     out     = sum_k alpha_k T_k * [r, g, b, depth, 1]
 No hard per-pixel termination (a TPU-hostile data-dependent branch); instead
 the kernels skip whole chunks once max-pixel transmittance underflows, which
-changes results by < 1e-6. The backward uses the suffix-sum identity
+changes results below fp32 noise. The backward uses the suffix-sum identity
     dL/dalpha_k = T_k g_k - S_k / (1 - alpha_k),  S_k = sum_{j>k} w_j g_j
-with prefix sums realized as triangular-matrix matmuls on the MXU.
+with prefix sums realized as triangular-matrix matmuls on the MXU, and
+reduces dL/dpower against the pixel quadratic basis (one more MXU matmul)
+into closed-form per-slot gradients for (u, v, conic).
 
-All coordinates inside a tile are tile-local to keep the quadratic forms
+Tile indices wrap modulo cfg.num_tiles so several images' tiles can be
+concatenated along the grid axis (batched keyframe-window rendering).
+All within-tile coordinates are tile-local to keep the quadratic forms
 well-conditioned in fp32.
 """
 
@@ -51,6 +56,7 @@ ALPHA_MAX = 0.99
 TOUCH_T_MIN = 1e-4          # transmittance floor for the n_touched signal
 CHUNK = 128                 # slots processed per inner step (lane width)
 LOG_SKIP = -16.0            # skip chunks once max log-transmittance < this
+FEAT_ROWS = 16              # sublane-padded feature rows (10 used)
 
 
 class RasterConfig(NamedTuple):
@@ -93,8 +99,10 @@ def _tile_pixel_coords(cfg: RasterConfig, dtype=jnp.float32):
     return x, y
 
 
-def _tile_origins(cfg: RasterConfig, dtype=jnp.float32):
-    t = jnp.arange(cfg.num_tiles)
+def _tile_origins(cfg: RasterConfig, total_tiles: int, dtype=jnp.float32):
+    """Tile origins; indices wrap every cfg.num_tiles so several images'
+    tiles can be concatenated along the tile axis (batched window render)."""
+    t = jnp.arange(total_tiles) % cfg.num_tiles
     ox = (t % cfg.tiles_x).astype(dtype) * cfg.tile_size
     oy = (t // cfg.tiles_x).astype(dtype) * cfg.tile_size
     return ox, oy
@@ -103,11 +111,11 @@ def _tile_origins(cfg: RasterConfig, dtype=jnp.float32):
 def composite_tiles_ref(feats: jnp.ndarray, cfg: RasterConfig):
     """Vectorized pure-JAX compositing. Differentiable by autodiff.
 
-    feats: (10, T, K) -> (out (T, P, 8), touched (T, K) int32)
+    feats: (T, 16, K) -> (out (T, P, 8), touched (T, K) int32)
     """
-    T, K = feats.shape[1], feats.shape[2]
+    T, K = feats.shape[0], feats.shape[2]
     px, py = _tile_pixel_coords(cfg)         # (P,)
-    ox, oy = _tile_origins(cfg)              # (T,)
+    ox, oy = _tile_origins(cfg, T)           # (T,)
 
     def one_tile(f, o_x, o_y):
         u = f[0] - o_x                        # (K,) tile-local
@@ -138,7 +146,7 @@ def composite_tiles_ref(feats: jnp.ndarray, cfg: RasterConfig):
         )
         return out, touched
 
-    return jax.vmap(one_tile, in_axes=(1, 0, 0))(feats, ox, oy)
+    return jax.vmap(one_tile)(feats, ox, oy)
 
 
 # ---------------------------------------------------------------------------
@@ -168,16 +176,23 @@ def _tri_matrices():
     return strict, incl
 
 
+def _tile_origin(cfg: RasterConfig):
+    t = jax.lax.rem(pl.program_id(0), cfg.num_tiles)  # wrap for batched images
+    ox = (jax.lax.rem(t, cfg.tiles_x) * cfg.tile_size).astype(jnp.float32)
+    oy = (jax.lax.div(t, cfg.tiles_x) * cfg.tile_size).astype(jnp.float32)
+    return ox, oy
+
+
 def _chunk_alpha(feats_ref, ck, ox, oy, x, y):
     """Shared per-chunk alpha computation. Returns tile-local (u, v), conic
-    rows, opacity row, exp(power), alpha (all (P, CHUNK) or (1, CHUNK))."""
+    rows, opacity row, exp(power), alpha ((P, CHUNK) / (1, CHUNK))."""
     sl = pl.ds(ck * CHUNK, CHUNK)
-    u = feats_ref[0, :, sl] - ox             # (1, CHUNK) tile-local
-    v = feats_ref[1, :, sl] - oy
-    a = feats_ref[2, :, sl]
-    b = feats_ref[3, :, sl]
-    c = feats_ref[4, :, sl]
-    opa = feats_ref[5, :, sl]
+    u = feats_ref[0, 0:1, sl] - ox           # (1, CHUNK) tile-local
+    v = feats_ref[0, 1:2, sl] - oy
+    a = feats_ref[0, 2:3, sl]
+    b = feats_ref[0, 3:4, sl]
+    c = feats_ref[0, 4:5, sl]
+    opa = feats_ref[0, 5:6, sl]
     dx = x - u                               # (P, CHUNK)
     dy = y - v
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
@@ -190,9 +205,7 @@ def _chunk_alpha(feats_ref, ck, ox, oy, x, y):
 
 def _fwd_kernel(feats_ref, out_ref, touched_ref, *, cfg: RasterConfig, K: int):
     P = cfg.pixels
-    t = pl.program_id(0)
-    ox = (jax.lax.rem(t, cfg.tiles_x) * cfg.tile_size).astype(jnp.float32)
-    oy = (jax.lax.div(t, cfg.tiles_x) * cfg.tile_size).astype(jnp.float32)
+    ox, oy = _tile_origin(cfg)
     x, y, _ = _pix_basis(cfg)
     strict, _ = _tri_matrices()
     pix_valid = ((ox + x - 0.5) < cfg.img_w) & ((oy + y - 0.5) < cfg.img_h)
@@ -217,8 +230,8 @@ def _fwd_kernel(feats_ref, out_ref, touched_ref, *, cfg: RasterConfig, K: int):
             sl = pl.ds(ck * CHUNK, CHUNK)
             colors_t = jnp.concatenate(
                 [
-                    feats_ref[6, :, sl], feats_ref[7, :, sl], feats_ref[8, :, sl],
-                    feats_ref[9, :, sl], jnp.ones((1, CHUNK), jnp.float32),
+                    feats_ref[0, 6:10, sl],               # r, g, b, depth
+                    jnp.ones((1, CHUNK), jnp.float32),    # alpha accumulator
                     jnp.zeros((3, CHUNK), jnp.float32),
                 ],
                 axis=0,
@@ -227,16 +240,19 @@ def _fwd_kernel(feats_ref, out_ref, touched_ref, *, cfg: RasterConfig, K: int):
                 w, colors_t, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            touched_ref[:, sl] = jnp.sum(
+            cnt = jnp.sum(
                 (ok & (Tk > TOUCH_T_MIN) & pix_valid).astype(jnp.int32),
                 axis=0, keepdims=True,
+            )                                 # (1, CHUNK)
+            touched_ref[0, :, sl] = jnp.concatenate(
+                [cnt, jnp.zeros((7, CHUNK), jnp.int32)], axis=0
             )
             logT = logT + jnp.sum(log1m, axis=1, keepdims=True)
             return logT, acc
 
         def dead(carry):
             sl = pl.ds(ck * CHUNK, CHUNK)
-            touched_ref[:, sl] = jnp.zeros((1, CHUNK), jnp.int32)
+            touched_ref[0, :, sl] = jnp.zeros((8, CHUNK), jnp.int32)
             return carry
 
         return jax.lax.cond(jnp.max(logT) > LOG_SKIP, live, dead, carry)
@@ -250,10 +266,7 @@ def _fwd_kernel(feats_ref, out_ref, touched_ref, *, cfg: RasterConfig, K: int):
 def _bwd_kernel(feats_ref, baux_ref, dfeats_ref, *, cfg: RasterConfig, K: int):
     """baux: (1, P, 8) columns [g_r, g_g, g_b, g_depth, g_alpha, A, 0, 0]
     where A = per-pixel total sum_j w_j g_j (precomputed outside)."""
-    P = cfg.pixels
-    t = pl.program_id(0)
-    ox = (jax.lax.rem(t, cfg.tiles_x) * cfg.tile_size).astype(jnp.float32)
-    oy = (jax.lax.div(t, cfg.tiles_x) * cfg.tile_size).astype(jnp.float32)
+    ox, oy = _tile_origin(cfg)
     x, y, basis = _pix_basis(cfg)
     strict, incl = _tri_matrices()
 
@@ -264,6 +277,7 @@ def _bwd_kernel(feats_ref, baux_ref, dfeats_ref, *, cfg: RasterConfig, K: int):
 
     def body(ck, carry):
         logT, wg_pref = carry                 # (P,1), (P,1)
+        sl = pl.ds(ck * CHUNK, CHUNK)
 
         def live(carry):
             logT, wg_pref = carry
@@ -278,13 +292,9 @@ def _bwd_kernel(feats_ref, baux_ref, dfeats_ref, *, cfg: RasterConfig, K: int):
             Tk = jnp.exp(logT + excl)
             w = alpha * Tk
 
-            sl = pl.ds(ck * CHUNK, CHUNK)
             # Per-(pixel, slot) cotangent of w: g = c.g_rgb + d*g_d + g_a.
             props = jnp.concatenate(
-                [
-                    feats_ref[6, :, sl], feats_ref[7, :, sl], feats_ref[8, :, sl],
-                    feats_ref[9, :, sl], jnp.ones((1, CHUNK), jnp.float32),
-                ],
+                [feats_ref[0, 6:10, sl], jnp.ones((1, CHUNK), jnp.float32)],
                 axis=0,
             )                                 # (5, CHUNK)
             g = jax.lax.dot_general(
@@ -300,15 +310,15 @@ def _bwd_kernel(feats_ref, baux_ref, dfeats_ref, *, cfg: RasterConfig, K: int):
             dalpha = Tk * g - S / (1.0 - alpha)
             dalpha_raw = jnp.where(ok & (alpha_raw < ALPHA_MAX), dalpha, 0.0)
             dpower = dalpha_raw * alpha_raw
-            d_opa = jnp.sum(dalpha_raw * expp, axis=0, keepdims=True)  # (1,CHUNK)
+            d_opa = jnp.sum(dalpha_raw * expp, axis=0, keepdims=True)  # (1,CK)
 
-            # d color/depth: sum_p w * g_col  -> (5, CHUNK) rows.
+            # d color/depth (+ unused alpha column): sum_p w * g -> (5, CHUNK).
             dprops = jax.lax.dot_general(
                 gvec, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                 # (5, CHUNK)
 
-            # Moments of dpower against the pixel quadratic basis -> (6, CHUNK):
+            # Moments of dpower against the pixel quadratic basis -> (6, CK):
             # rows [xx, xy, yy, x, y, 1].
             m = jax.lax.dot_general(
                 basis, dpower, (((0,), (0,)), ((), ())),
@@ -323,74 +333,69 @@ def _bwd_kernel(feats_ref, baux_ref, dfeats_ref, *, cfg: RasterConfig, K: int):
             db = -(Rxy - u * Ry - v * Rx + u * v * R0)
             dc = -0.5 * (Ryy - 2.0 * v * Ry + v * v * R0)
 
-            dfeats_ref[0, :, sl] = du
-            dfeats_ref[1, :, sl] = dv
-            dfeats_ref[2, :, sl] = da
-            dfeats_ref[3, :, sl] = db
-            dfeats_ref[4, :, sl] = dc
-            dfeats_ref[5, :, sl] = d_opa
-            dfeats_ref[6, :, sl] = dprops[0:1]
-            dfeats_ref[7, :, sl] = dprops[1:2]
-            dfeats_ref[8, :, sl] = dprops[2:3]
-            dfeats_ref[9, :, sl] = dprops[3:4]
+            dfeats_ref[0, :, sl] = jnp.concatenate(
+                [du, dv, da, db, dc, d_opa, dprops[0:4],
+                 jnp.zeros((6, CHUNK), jnp.float32)],
+                axis=0,
+            )                                 # (16, CHUNK)
 
             logT = logT + jnp.sum(log1m, axis=1, keepdims=True)
             wg_pref = wg_pref + jnp.sum(wg, axis=1, keepdims=True)
             return logT, wg_pref
 
         def dead(carry):
-            sl = pl.ds(ck * CHUNK, CHUNK)
-            dfeats_ref[:, :, sl] = jnp.zeros((10, 1, CHUNK), jnp.float32)
+            dfeats_ref[0, :, sl] = jnp.zeros((FEAT_ROWS, CHUNK), jnp.float32)
             return carry
 
         return jax.lax.cond(jnp.max(logT) > LOG_SKIP, live, dead, carry)
 
-    logT0 = jnp.zeros((P, 1), jnp.float32)
-    wg0 = jnp.zeros((P, 1), jnp.float32)
+    logT0 = jnp.zeros((cfg.pixels, 1), jnp.float32)
+    wg0 = jnp.zeros((cfg.pixels, 1), jnp.float32)
     jax.lax.fori_loop(0, n_chunks, body, (logT0, wg0))
 
 
 def _fwd_pallas(feats: jnp.ndarray, cfg: RasterConfig):
-    T, K = feats.shape[1], feats.shape[2]
+    T, K = feats.shape[0], feats.shape[2]
     P = cfg.pixels
     kern = functools.partial(_fwd_kernel, cfg=cfg, K=K)
-    out, touched = pl.pallas_call(
+    out, touched8 = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((10, 1, K), lambda t: (0, t, 0),
+            pl.BlockSpec((1, FEAT_ROWS, K), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, P, 8), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, K), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, P, 8), jnp.float32),
-            jax.ShapeDtypeStruct((T, K), jnp.int32),
+            jax.ShapeDtypeStruct((T, 8, K), jnp.int32),
         ],
         interpret=_interpret_mode(),
     )(feats)
-    return out, touched
+    return out, touched8[:, 0, :]
 
 
 def _bwd_pallas(feats: jnp.ndarray, baux: jnp.ndarray, cfg: RasterConfig):
-    T, K = feats.shape[1], feats.shape[2]
+    T, K = feats.shape[0], feats.shape[2]
     P = cfg.pixels
     kern = functools.partial(_bwd_kernel, cfg=cfg, K=K)
     dfeats = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((10, 1, K), lambda t: (0, t, 0),
+            pl.BlockSpec((1, FEAT_ROWS, K), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 8), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((10, 1, K), lambda t: (0, t, 0),
+        out_specs=pl.BlockSpec((1, FEAT_ROWS, K), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((10, T, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, FEAT_ROWS, K), jnp.float32),
         interpret=_interpret_mode(),
     )(feats, baux)
     return dfeats
@@ -436,7 +441,40 @@ composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)
 
 def composite_tiles(feats: jnp.ndarray, cfg: RasterConfig, backend: str = "pallas"):
     """Dispatch: 'pallas' (TPU kernels; interpreted off-TPU) or 'ref'
-    (pure-JAX oracle)."""
+    (pure-JAX oracle). feats: (T, 16, K)."""
     if backend == "ref":
         return composite_tiles_ref(feats, cfg)
     return composite_tiles_pallas(feats, cfg)
+
+
+def pack_features(
+    mean2d: jnp.ndarray,   # (N, 2)
+    conic: jnp.ndarray,    # (N, 3)
+    opacity: jnp.ndarray,  # (N,) already masked by validity
+    rgb: jnp.ndarray,      # (N, 3)
+    depth: jnp.ndarray,    # (N,)
+    index_matrix: jnp.ndarray,  # (T, K) with sentinel N
+) -> jnp.ndarray:
+    """Gather per-Gaussian features into the (T, 16, K) kernel layout.
+    Differentiable: the gather's transpose is XLA's scatter-add."""
+    N = mean2d.shape[0]
+    feats_full = jnp.stack(
+        [
+            mean2d[:, 0], mean2d[:, 1],
+            conic[:, 0], conic[:, 1], conic[:, 2],
+            opacity, rgb[:, 0], rgb[:, 1], rgb[:, 2], depth,
+        ],
+        axis=0,
+    )                                               # (10, N)
+    feats_full = jnp.concatenate(
+        [
+            feats_full,
+            jnp.zeros((FEAT_ROWS - feats_full.shape[0], N), feats_full.dtype),
+        ],
+        axis=0,
+    )                                               # (16, N)
+    feats_full = jnp.concatenate(
+        [feats_full, jnp.zeros((FEAT_ROWS, 1), feats_full.dtype)], axis=1
+    )                                               # sentinel column N
+    feats = jnp.take(feats_full, index_matrix, axis=1)   # (16, T, K)
+    return jnp.moveaxis(feats, 0, 1)                # (T, 16, K)

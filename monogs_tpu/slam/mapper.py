@@ -1,0 +1,469 @@
+"""Mapper (SLAM backend): keyframe-window Gaussian optimization.
+
+TPU-native counterpart of the reference Mapper
+(/root/reference/utils/slam_mapper.py:16-734). Key re-design decisions:
+
+- The per-iteration work — render every window keyframe, sum mapping losses,
+  one backward, Adam on Gaussians + keyframe poses, pose retraction — is ONE
+  jitted `mapping_step` on a *stacked* window (ops/render.py:render_window
+  batches all keyframes into a single rasterizer launch), replacing the
+  reference's serial python loop over keyframes (slam_mapper.py:273-322).
+- Cadenced topology events (densify/prune every gaussian_update_every=150
+  iters at offset 50, non-visible opacity reset every 2001,
+  slam_mapper.py:462-479) are separate jitted calls driven by the host loop;
+  they mutate the static-capacity map with masked writes.
+- Covisibility pruning (slam_mapper.py:408-451) never remaps indices:
+  because the map is a static SoA with an `active` mask, per-keyframe
+  visibility masks stay aligned across prunes (the reference must filter its
+  visibility dict after every prune).
+- Map snapshots for the tracker are free: JAX arrays are immutable, so
+  "push_to_frontend" (slam_mapper.py:550-564, deepcopy+pickle `clone_obj`)
+  becomes sharing an array reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import gaussian_map as gm
+from ..models.optim import AdamState, adam_step, expon_lr, init_adam
+from ..ops import lie
+from ..ops.graphics import Intrinsics
+from ..ops.losses import get_loss_mapping, l1_loss, ssim
+from ..ops.render import render, render_window
+from .camera import Frame, Window
+
+
+@dataclasses.dataclass(frozen=True)
+class MapperConfig:
+    """Static mapping hyperparameters (reference slam_mapper.py:61-90 and
+    configs/*/base_config.yaml Training/opt_params)."""
+
+    # Map init (slam_mapper.py:64-75)
+    init_itr_num: int = 1050
+    init_gaussian_update: int = 100
+    init_gaussian_reset: int = 500
+    init_gaussian_th: float = 0.005
+    init_gaussian_extent: float = 30.0   # cameras_extent(1.0) * 30
+    # Window optimization (slam_mapper.py:76-89, run handler :660-662)
+    iters_per_kf: int = 300
+    gaussian_update_every: int = 150
+    gaussian_update_offset: int = 50
+    gaussian_th: float = 0.7
+    gaussian_extent: float = 1.0
+    gaussian_reset: int = 2001
+    size_threshold: float = 20.0
+    prune_coviz: int = 3
+    window_size: int = 8
+    # 3DGS optimizer (configs opt_params, gaussian_model.py:398-449)
+    densify_grad_threshold: float = 2e-4
+    percent_dense: float = 0.01
+    spatial_lr_scale: float = 6.0        # slam.py:87 init_lr(6.0)
+    position_lr_init: float = 1.6e-3
+    position_lr_final: float = 1.6e-6
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30000
+    feature_lr: float = 2.5e-3
+    opacity_lr: float = 0.05
+    scaling_lr: float = 1e-3
+    rotation_lr: float = 1e-3
+    # Keyframe pose optimizer (run handler slam_mapper.py:687-717: lr * 0.5)
+    lr_rot: float = 0.003 * 0.5
+    lr_trans: float = 0.001 * 0.5
+    lr_exposure: float = 0.01
+    pose_adam_eps: float = 1e-8
+    # Refinement (slam_mapper.py:502-548)
+    refine_iters: int = 26000
+    lambda_ssim: float = 0.2
+    # Rendering
+    tile_capacity: int = 512
+    max_dup: int = 16
+    backend: str = "pallas"
+    isotropic: bool = False
+
+    def map_lrs(self, step):
+        """Per-leaf learning rates; xyz follows the exponential schedule
+        (gaussian_model.py:439-462)."""
+        xyz_lr = expon_lr(
+            step,
+            self.position_lr_init * self.spatial_lr_scale,
+            self.position_lr_final * self.spatial_lr_scale,
+            0.0, self.position_lr_delay_mult, self.position_lr_max_steps,
+        )
+        return {
+            "xyz": xyz_lr,
+            "rgb": self.feature_lr,
+            "log_scales": self.scaling_lr * self.spatial_lr_scale,
+            "quats": self.rotation_lr,
+            "opacity_logit": self.opacity_lr,
+        }
+
+
+class PoseAdam(NamedTuple):
+    """Stacked Adam moments for per-keyframe (rho, theta, exp_a, exp_b)."""
+
+    mu_rho: jnp.ndarray     # (Wc, 3)
+    mu_theta: jnp.ndarray   # (Wc, 3)
+    mu_ea: jnp.ndarray      # (Wc,)
+    mu_eb: jnp.ndarray      # (Wc,)
+    nu_rho: jnp.ndarray
+    nu_theta: jnp.ndarray
+    nu_ea: jnp.ndarray
+    nu_eb: jnp.ndarray
+    step: jnp.ndarray       # () int32
+
+
+def init_pose_adam(capacity: int) -> PoseAdam:
+    z3 = jnp.zeros((capacity, 3))
+    z = jnp.zeros((capacity,))
+    return PoseAdam(z3, z3, z, z, z3, z3, z, z, jnp.zeros((), jnp.int32))
+
+
+class MapperState(NamedTuple):
+    gmap: gm.GaussianMap
+    adam: AdamState
+    window: Window
+    pose_adam: PoseAdam
+    nr_iters: jnp.ndarray   # () int32, global (init + mapping) iteration count
+    rng: jax.Array
+
+
+def init_mapper_state(capacity: int, nr_objects: int, window: Window,
+                      seed: int = 0) -> MapperState:
+    gmap = gm.init_map(capacity, nr_objects)
+    return MapperState(
+        gmap=gmap,
+        adam=init_adam(gmap.params),
+        window=window,
+        pose_adam=init_pose_adam(window.capacity),
+        nr_iters=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+class MappingAux(NamedTuple):
+    loss: jnp.ndarray
+    visibility: jnp.ndarray   # (Wc, C) bool — n_touched > 0 per window slot
+    overflow: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# The jitted mapping iteration.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg", "init"))
+def mapping_step(
+    state: MapperState, intr: Intrinsics, cfg: MapperConfig, init: bool = False,
+):
+    """One mapping iteration over the whole window (slam_mapper.py:258-496;
+    init=True reproduces initialize_map's single-frame loss without exposure,
+    slam_mapper.py:169-238)."""
+    gmap, window = state.gmap, state.window
+    Wc = window.capacity
+    C = gmap.capacity
+    f: Frame = window.frames
+    scales_fn = lambda p: gm.get_scales(p, cfg.isotropic)
+
+    valid_f = window.valid.astype(jnp.float32)
+    not_frame0 = (f.frame_idx != 0) & window.valid
+
+    def loss_fn(params, rhos, thetas, eas, ebs, dummy):
+        out = render_window(
+            params["xyz"], scales_fn(params), params["quats"],
+            gm.get_opacity(params), params["rgb"],
+            f.R, f.t, intr, rhos=rhos, thetas=thetas, active=gmap.active,
+            tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+            backend=cfg.backend, mean2d_dummy=dummy,
+        )
+        losses = jax.vmap(
+            functools.partial(get_loss_mapping, init=init)
+        )(out.rgb, out.depth, f.rgb, f.depth, f.mask, eas, ebs)
+        loss = jnp.sum(losses * valid_f)
+        return loss, out
+
+    z3 = jnp.zeros((Wc, 3))
+    dummy = jnp.zeros((Wc, C, 2))
+    (loss, out), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2, 3, 4, 5), has_aux=True
+    )(gmap.params, z3, z3, f.exposure_a, f.exposure_b, dummy)
+    g_params, g_rho, g_theta, g_ea, g_eb, g_dummy = grads
+
+    # Densification statistics (slam_mapper.py:453-460): per-keyframe
+    # screen-space gradient norms accumulated over visible Gaussians.
+    vis_filter = out.radii > 0                         # (Wc, C)
+    g_px = g_dummy                                      # (Wc, C, 2) pixel units
+    g_ndc = g_px * jnp.array([[[intr.width * 0.5, intr.height * 0.5]]])
+    norms = jnp.linalg.norm(g_ndc, axis=-1)             # (Wc, C)
+    upd = vis_filter & window.valid[:, None] & gmap.active[None, :]
+    gmap = gmap._replace(
+        xyz_grad_accum=gmap.xyz_grad_accum + jnp.sum(
+            jnp.where(upd, norms, 0.0), axis=0
+        ),
+        denom=gmap.denom + jnp.sum(upd, axis=0).astype(jnp.float32),
+        max_radii2d=jnp.maximum(
+            gmap.max_radii2d,
+            jnp.max(jnp.where(upd, out.radii, 0.0), axis=0),
+        ),
+    )
+
+    # Gaussian Adam step (masked to active rows).
+    def mask_g(g):
+        m = gmap.active
+        while m.ndim < g.ndim:
+            m = m[..., None]
+        return jnp.where(m, g, 0.0)
+
+    g_params = {k: mask_g(v) for k, v in g_params.items()}
+    new_params, new_adam = adam_step(
+        gmap.params, g_params, state.adam, cfg.map_lrs(state.nr_iters)
+    )
+    gmap = gmap._replace(params=new_params)
+
+    # Keyframe pose Adam + retraction (skipped entirely during init).
+    pa = state.pose_adam
+    if init:
+        new_window = window
+        pa_new = pa
+    else:
+        step = pa.step + 1
+        t_f = step.astype(jnp.float32)
+        bc1 = 1.0 - 0.9 ** t_f
+        bc2 = 1.0 - 0.999 ** t_f
+
+        def upd1(mu, nu, g, lr, opt_mask):
+            mu = 0.9 * mu + 0.1 * g
+            nu = 0.999 * nu + 0.001 * g * g
+            d = -lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + cfg.pose_adam_eps)
+            m = opt_mask
+            while m.ndim < d.ndim:
+                m = m[..., None]
+            return mu, nu, jnp.where(m, d, 0.0)
+
+        mu_r, nu_r, d_rho = upd1(pa.mu_rho, pa.nu_rho, g_rho,
+                                 cfg.lr_trans, not_frame0)
+        mu_t, nu_t, d_theta = upd1(pa.mu_theta, pa.nu_theta, g_theta,
+                                   cfg.lr_rot, not_frame0)
+        mu_a, nu_a, d_ea = upd1(pa.mu_ea, pa.nu_ea, g_ea,
+                                cfg.lr_exposure, not_frame0)
+        mu_b, nu_b, d_eb = upd1(pa.mu_eb, pa.nu_eb, g_eb,
+                                cfg.lr_exposure, not_frame0)
+        pa_new = PoseAdam(mu_r, mu_t, mu_a, mu_b, nu_r, nu_t, nu_a, nu_b, step)
+
+        R_new, t_new = jax.vmap(lie.apply_pose_delta)(f.R, f.t, d_rho, d_theta)
+        new_frames = f._replace(
+            R=R_new, t=t_new,
+            exposure_a=f.exposure_a + d_ea, exposure_b=f.exposure_b + d_eb,
+        )
+        new_window = Window(frames=new_frames, valid=window.valid)
+
+    new_state = MapperState(
+        gmap=gmap, adam=new_adam, window=new_window, pose_adam=pa_new,
+        nr_iters=state.nr_iters + 1, rng=state.rng,
+    )
+    aux = MappingAux(
+        loss=loss,
+        visibility=(out.n_touched > 0) & window.valid[:, None],
+        overflow=out.overflow,
+    )
+    return new_state, aux
+
+
+# ---------------------------------------------------------------------------
+# Cadenced topology events (jitted, called by the host driver).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "init_phase"))
+def densify_event(state: MapperState, cfg: MapperConfig, init_phase: bool):
+    """densify_and_prune cadence call (slam_mapper.py:462-473 /
+    initialize_map:223-229)."""
+    rng, sub = jax.random.split(state.rng)
+    if init_phase:
+        th, extent, max_screen = (
+            cfg.init_gaussian_th, cfg.init_gaussian_extent, None
+        )
+    else:
+        th, extent, max_screen = (
+            cfg.gaussian_th, cfg.gaussian_extent, cfg.size_threshold
+        )
+    gmap, adam, n_cloned, n_split, n_pruned, n_dropped = gm.densify_and_prune(
+        state.gmap, state.adam, sub,
+        max_grad=cfg.densify_grad_threshold, min_opacity=th, extent=extent,
+        max_screen_size=max_screen, percent_dense=cfg.percent_dense,
+        isotropic=cfg.isotropic,
+    )
+    return (
+        state._replace(gmap=gmap, adam=adam, rng=rng),
+        (n_cloned, n_split, n_pruned, n_dropped),
+    )
+
+
+@jax.jit
+def reset_opacity_event(state: MapperState):
+    gmap, adam = gm.reset_opacity(state.gmap, state.adam)
+    return state._replace(gmap=gmap, adam=adam)
+
+
+@jax.jit
+def reset_nonvisible_event(state: MapperState, visible: jnp.ndarray):
+    gmap, adam = gm.reset_opacity_nonvisible(state.gmap, state.adam, visible)
+    return state._replace(gmap=gmap, adam=adam)
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def visibility_pass(state: MapperState, intr: Intrinsics, cfg: MapperConfig):
+    """No-grad window render for visibility only (the prune=True iteration,
+    slam_mapper.py:394-404)."""
+    gmap, window = state.gmap, state.window
+    f = window.frames
+    Wc = window.capacity
+    out = render_window(
+        gmap.params["xyz"], gm.get_scales(gmap.params, cfg.isotropic),
+        gmap.params["quats"], gm.get_opacity(gmap.params),
+        gmap.params["rgb"], f.R, f.t, intr,
+        rhos=jnp.zeros((Wc, 3)), thetas=jnp.zeros((Wc, 3)),
+        active=gmap.active, tile_capacity=cfg.tile_capacity,
+        max_dup=cfg.max_dup, backend=cfg.backend,
+    )
+    return (out.n_touched > 0) & window.valid[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def covisibility_prune(
+    state: MapperState, visibility: jnp.ndarray, kf_idx_floor: jnp.ndarray,
+    cfg: MapperConfig,
+):
+    """Covisibility pruning (slam_mapper.py:408-451): Gaussians created at
+    keyframes >= kf_idx_floor (the 3rd-newest window keyframe; or all on the
+    first prune) observed <= prune_coviz times are pruned. Returns the new
+    state and the prune mask (for host-side visibility-dict bookkeeping —
+    identity here, masks stay index-aligned)."""
+    gmap = state.gmap
+    nr_obs = jnp.sum(visibility.astype(jnp.int32), axis=0)  # (C,)
+    gmap = gmap._replace(nr_obs=nr_obs)
+    kf_mask = gmap.kf_idx >= kf_idx_floor
+    to_prune = (nr_obs <= cfg.prune_coviz) & kf_mask & gmap.active
+    gmap, adam = gm.prune_points(gmap, state.adam, to_prune)
+    return state._replace(gmap=gmap, adam=adam), to_prune
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg", "init"))
+def extend_event(
+    state: MapperState, frame: Frame, kf_idx, intr: Intrinsics,
+    cfg: MapperConfig, init: bool,
+):
+    """add_next_kf (slam_mapper.py:92-166): render the current map from the
+    new keyframe (no-grad) for the densification mask, then seed Gaussians."""
+    gmap = state.gmap
+    if init:
+        render_depth = None
+        render_opacity = None
+    else:
+        out = render(
+            gmap.params["xyz"], gm.get_scales(gmap.params, cfg.isotropic),
+            gmap.params["quats"], gm.get_opacity(gmap.params),
+            gmap.params["rgb"], frame.R, frame.t, intr, active=gmap.active,
+            tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+            backend=cfg.backend,
+        )
+        render_depth, render_opacity = out.depth, out.opacity
+    rng, sub = jax.random.split(state.rng)
+    res = gm.extend_from_keyframe(
+        gmap, state.adam, sub,
+        rgb=frame.rgb, depth=frame.depth, segmentation=frame.segmentation,
+        R_w2c=frame.R, t_w2c=frame.t, intr=intr, kf_idx=kf_idx,
+        exposure_a=frame.exposure_a, exposure_b=frame.exposure_b,
+        render_depth=render_depth, render_opacity=render_opacity,
+        init=init, isotropic=cfg.isotropic,
+    )
+    return (
+        state._replace(gmap=res.map, adam=res.adam, rng=rng),
+        (res.n_added, res.n_dropped),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def refine_step(state: MapperState, frame: Frame, intr: Intrinsics,
+                cfg: MapperConfig):
+    """One color-refinement iteration (slam_mapper.py:502-548):
+    (1-lambda)*L1 + lambda*(1-SSIM) on a random keyframe, Gaussian params
+    only."""
+    gmap = state.gmap
+
+    def loss_fn(params):
+        out = render(
+            params["xyz"], gm.get_scales(params, cfg.isotropic),
+            params["quats"], gm.get_opacity(params), params["rgb"],
+            frame.R, frame.t, intr, active=gmap.active,
+            tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+            backend=cfg.backend,
+        )
+        l1 = l1_loss(out.rgb, frame.rgb)
+        s = ssim(out.rgb, frame.rgb)
+        return (1.0 - cfg.lambda_ssim) * l1 + cfg.lambda_ssim * (1.0 - s)
+
+    grads = jax.grad(loss_fn)(gmap.params)
+    active = gmap.active
+
+    def mask_g(g):
+        m = active
+        while m.ndim < g.ndim:
+            m = m[..., None]
+        return jnp.where(m, g, 0.0)
+
+    grads = {k: mask_g(v) for k, v in grads.items()}
+    new_params, new_adam = adam_step(
+        gmap.params, grads, state.adam, cfg.map_lrs(state.nr_iters)
+    )
+    return state._replace(
+        gmap=gmap._replace(params=new_params), adam=new_adam,
+        nr_iters=state.nr_iters + 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host drivers (cadence logic; python loops over jitted steps).
+# ---------------------------------------------------------------------------
+
+
+def run_initialize_map(state: MapperState, intr: Intrinsics, cfg: MapperConfig,
+                       log=None):
+    """initialize_map (slam_mapper.py:169-241): init_itr_num iterations on
+    the init keyframe with densify every init_gaussian_update and an opacity
+    reset at init_gaussian_reset. Returns (state, visibility (Wc,C))."""
+    aux = None
+    for _ in range(cfg.init_itr_num):
+        state, aux = mapping_step(state, intr, cfg, init=True)
+        it = int(state.nr_iters)
+        if (it - 1) % cfg.init_gaussian_update == 0:
+            state, _ = densify_event(state, cfg, init_phase=True)
+        if it == cfg.init_gaussian_reset:
+            state = reset_opacity_event(state)
+    return state, aux.visibility
+
+
+def run_optimize_map(
+    state: MapperState, intr: Intrinsics, cfg: MapperConfig, iters: int,
+):
+    """The iters_per_kf mapping loop with its cadences
+    (slam_mapper.py:244-496). Returns (state, last visibility)."""
+    visibility = None
+    for _ in range(iters):
+        state, aux = mapping_step(state, intr, cfg, init=False)
+        visibility = aux.visibility
+        it = int(state.nr_iters)
+        update_gaussian = (
+            it % cfg.gaussian_update_every == cfg.gaussian_update_offset
+        )
+        if update_gaussian:
+            state, _ = densify_event(state, cfg, init_phase=False)
+        elif it % cfg.gaussian_reset == 0:
+            any_visible = jnp.any(visibility, axis=0)
+            state = reset_nonvisible_event(state, any_visible)
+    return state, visibility

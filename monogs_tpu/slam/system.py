@@ -1,0 +1,320 @@
+"""SLAM system orchestrator.
+
+Counterpart of reference slam.py:48-308 + the tracker/mapper run loops
+(slam_tracker.py:318-549, slam_mapper.py:566-734). Re-designed process
+topology (SURVEY.md §7): instead of 2-3 OS processes exchanging deep-cloned
+Gaussians over pickle queues, tracker and mapper are host-side drivers of
+jitted device steps in ONE process — map "snapshots" are free because JAX
+arrays are immutable (the clone_obj/queue machinery of
+multiprocessing_utils.py:21-31 has no TPU-native reason to exist). An
+optional async mode (tracker thread ∥ mapper thread) mirrors the reference's
+concurrency; the synchronous mode reproduces the reference's deterministic
+single-process configs (*_sp.yaml).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import gaussian_map as gm
+from ..utils.config import (
+    SystemConfig,
+    build_keyframe_config,
+    build_mapper_config,
+    build_system_config,
+    build_tracker_config,
+)
+from ..utils.eval import eval_rendering, eval_traj_ate
+from ..utils.logging import Log
+from ..utils.ply import save_ply
+from . import keyframes as kf
+from .camera import Frame, make_frame, window_from_list, window_get
+from .mapper import (
+    MapperState,
+    covisibility_prune,
+    extend_event,
+    init_mapper_state,
+    init_pose_adam,
+    refine_step,
+    run_initialize_map,
+    run_optimize_map,
+    visibility_pass,
+)
+from .tracker import track_frame
+
+
+class SLAM:
+    def __init__(
+        self,
+        dataset,
+        config: dict | None = None,
+        tracker_config=None,
+        mapper_config=None,
+        keyframe_config=None,
+        system_config: SystemConfig | None = None,
+    ):
+        config = config or {}
+        self.dataset = dataset
+        self.intr = dataset.intrinsics
+        self.tcfg = tracker_config or build_tracker_config(config)
+        self.mcfg = mapper_config or build_mapper_config(config)
+        self.kcfg = keyframe_config or build_keyframe_config(config)
+        self.scfg = system_config or build_system_config(config)
+
+        self.est_poses: dict[int, tuple] = {}    # idx -> (R, t) numpy w2c
+        self.gt_poses: dict[int, tuple] = {}
+        self.frames: dict[int, Frame] = {}       # window + recent frames
+        self.vis_dict: dict[int, jnp.ndarray] = {}
+        self.kf_list: list[int] = []
+        self.is_window_full = False
+        self.first_time_pruned = False
+        self.median_depth = 1.0
+        self.state: MapperState | None = None
+        self.metrics = {"ate": [], "tracking_iters": [], "frame_times": []}
+
+    # -- frame plumbing ------------------------------------------------------
+
+    def _load_frame(self, idx: int) -> Frame:
+        d = self.dataset[idx]
+        frame = make_frame(
+            idx, jnp.asarray(d["rgb"]),
+            None if d.get("depth") is None else jnp.asarray(d["depth"]),
+            jnp.asarray(d["pose"]),
+            mask=None if d.get("mask") is None else jnp.asarray(d["mask"]),
+            segmentation=None if d.get("segmentation") is None
+            else jnp.asarray(d["segmentation"]),
+        )
+        self.gt_poses[idx] = (np.asarray(frame.R_gt), np.asarray(frame.t_gt))
+        return frame
+
+    def _record_pose(self, idx: int, R, t):
+        self.est_poses[idx] = (np.asarray(R), np.asarray(t))
+
+    def _gc_frames(self):
+        keep = set(self.kf_list) | {max(self.frames.keys(), default=0)}
+        for idx in [i for i in self.frames if i not in keep]:
+            del self.frames[idx]
+        for idx in [i for i in self.vis_dict if i not in set(self.kf_list)]:
+            del self.vis_dict[idx]
+
+    def _maybe_grow(self):
+        st = self.state
+        free = st.gmap.capacity - int(st.gmap.num_active)
+        if free < self.scfg.capacity_headroom:
+            new_cap = st.gmap.capacity * 2
+            Log(f"Growing map capacity -> {new_cap}", tag="System")
+            gmap, adam = gm.grow(st.gmap, st.adam, new_cap)
+            self.state = st._replace(gmap=gmap, adam=adam)
+
+    def _sync_window_back(self):
+        """Write optimized window poses/exposures back to host bookkeeping
+        (the push_to_frontend / sync_from_backend pair,
+        slam_mapper.py:550-564, slam_tracker.py:302-316)."""
+        w = self.state.window
+        for slot, idx in enumerate(self.kf_list):
+            f = window_get(w, slot)
+            self.frames[idx] = f
+            self._record_pose(idx, f.R, f.t)
+
+    # -- pipeline stages -----------------------------------------------------
+
+    def initialize(self, frame: Frame):
+        """Frame-0 handling (slam_tracker.py:396-407, slam_mapper.py:619-637)."""
+        nr_objects = getattr(self.dataset, "nr_objects", 1)
+        window = window_from_list([frame], self.kcfg.window_size + 2)
+        self.state = init_mapper_state(
+            self.scfg.map_capacity, nr_objects, window, seed=self.scfg.seed
+        )
+        self.state, (n_added, _) = extend_event(
+            self.state, frame, 0, self.intr, self.mcfg, init=True
+        )
+        Log(f"Map init: {int(n_added)} Gaussians", tag="Mapper")
+        self.state, vis = run_initialize_map(self.state, self.intr, self.mcfg)
+        self.frames[0] = frame
+        self.kf_list = [0]
+        self.vis_dict[0] = vis[0]
+        self._record_pose(0, frame.R, frame.t)
+
+    def track(self, idx: int, frame: Frame) -> tuple[Frame, object]:
+        """Track one frame against the current map (slam_tracker.py:83-193)."""
+        prev_R, prev_t = self.est_poses[idx - 1]
+        frame = frame._replace(
+            R=jnp.asarray(prev_R, jnp.float32), t=jnp.asarray(prev_t, jnp.float32)
+        )
+        res = track_frame(
+            self.state.gmap.params, self.state.gmap.active, frame, self.intr,
+            self.tcfg,
+        )
+        frame = frame._replace(
+            R=res.R, t=res.t, exposure_a=res.exposure_a, exposure_b=res.exposure_b
+        )
+        self._record_pose(idx, res.R, res.t)
+        self.median_depth = float(res.median_depth)
+        self.metrics["tracking_iters"].append(int(res.n_iters))
+        return frame, res
+
+    def handle_keyframe(self, idx: int, frame: Frame):
+        """Mapper keyframe message (slam_mapper.py:639-722)."""
+        self.state, (n_added, n_dropped) = extend_event(
+            self.state, frame, idx, self.intr, self.mcfg, init=False
+        )
+        if int(n_dropped):
+            Log(f"Capacity drop: {int(n_dropped)} seeds", tag="Mapper")
+        self._maybe_grow()
+
+        # Stack the window (newest first, matching kf_list order).
+        frames = [self.frames[i] if i != idx else frame for i in self.kf_list]
+        window = window_from_list(frames, self.kcfg.window_size + 2)
+        self.state = self.state._replace(
+            window=window,
+            # Fresh keyframe optimizers per event (slam_mapper.py:717).
+            pose_adam=init_pose_adam(window.capacity),
+        )
+
+        self.state, _ = run_optimize_map(
+            self.state, self.intr, self.mcfg, self.mcfg.iters_per_kf
+        )
+
+        # prune=True pass (slam_mapper.py:720, 408-451).
+        vis = visibility_pass(self.state, self.intr, self.mcfg)
+        if len(self.kf_list) == self.kcfg.window_size:
+            if not self.first_time_pruned:
+                floor = jnp.asarray(-(2 ** 31), jnp.int32)
+                self.first_time_pruned = True
+            else:
+                floor = jnp.asarray(
+                    sorted(self.kf_list, reverse=True)[2], jnp.int32
+                )
+            self.state, _ = covisibility_prune(self.state, vis, floor, self.mcfg)
+            vis = visibility_pass(self.state, self.intr, self.mcfg)
+
+        for slot, i in enumerate(self.kf_list):
+            self.vis_dict[i] = vis[slot]
+        self._sync_window_back()
+
+    def process_frame(self, idx: int) -> dict:
+        """One full frontend+backend cycle for frame idx."""
+        t0 = time.time()
+        frame = self._load_frame(idx)
+        if idx == 0:
+            self.initialize(frame)
+            self.metrics["frame_times"].append(time.time() - t0)
+            return {"keyframe": True}
+
+        frame, res = self.track(idx, frame)
+        self.frames[idx] = frame
+
+        # Keyframe decision (slam_tracker.py:417-446; fork default creates a
+        # keyframe every kf_interval frames).
+        last_kf = self.kf_list[0]
+        create_kf = (idx - last_kf) >= self.kcfg.kf_interval
+        if create_kf and self.kcfg.check_viewpoints_overlap:
+            create_kf = kf.should_add_as_keyframe(
+                (np.asarray(frame.R), np.asarray(frame.t)),
+                self.est_poses[last_kf],
+                res.visibility, self.vis_dict[last_kf],
+                self.median_depth, self.kcfg,
+            )
+
+        if create_kf:
+            self.vis_dict[idx] = res.visibility
+            self.kf_list, removed = kf.add_to_window(
+                idx, res.visibility, self.kf_list, self.vis_dict,
+                self.est_poses, self.kcfg, self.is_window_full,
+            )
+            if len(self.kf_list) == self.kcfg.window_size:
+                self.is_window_full = True
+            self.handle_keyframe(idx, frame)
+        self._gc_frames()
+        self.metrics["frame_times"].append(time.time() - t0)
+        return {"keyframe": create_kf}
+
+    # -- evaluation / export -------------------------------------------------
+
+    def eval_ate(self, label="final", align=False, align_scale=False) -> float:
+        rmse = eval_traj_ate(
+            self.est_poses, self.gt_poses, save_dir=self.scfg.save_dir,
+            label=label, align=align, align_scale=align_scale,
+        )
+        self.metrics["ate"].append(rmse)
+        return rmse
+
+    def render_at(self, idx: int) -> np.ndarray:
+        """Render the map from the estimated pose of frame idx."""
+        R, t = self.est_poses[idx]
+        p = self.state.gmap.params
+        from ..ops.render import render
+
+        out = render(
+            p["xyz"], gm.get_scales(p, self.mcfg.isotropic), p["quats"],
+            gm.get_opacity(p), p["rgb"],
+            jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32),
+            self.intr, active=self.state.gmap.active,
+            tile_capacity=self.mcfg.tile_capacity, max_dup=self.mcfg.max_dup,
+            backend=self.mcfg.backend,
+        )
+        return np.clip(np.asarray(out.rgb), 0.0, 1.0)
+
+    def eval_rendering(self, every: int = 5, label="final") -> dict:
+        idxs = [i for i in sorted(self.est_poses) if i % every == 0]
+        return eval_rendering(
+            self.render_at,
+            lambda i: (self.dataset[i]["rgb"], self.dataset[i].get("depth")),
+            idxs, save_dir=self.scfg.save_dir, label=label,
+        )
+
+    def refine(self, iters: int | None = None):
+        """Final color refinement (slam_mapper.py:502-548) over random
+        keyframes re-fetched from the dataset at estimated poses."""
+        import random as _random
+
+        iters = iters if iters is not None else self.mcfg.refine_iters
+        rng = _random.Random(self.scfg.seed)
+        kf_idxs = sorted(self.est_poses.keys())
+        for _ in range(iters):
+            idx = kf_idxs[rng.randrange(len(kf_idxs))]
+            if idx in self.frames:
+                frame = self.frames[idx]
+            else:
+                frame = self._load_frame(idx)
+                R, t = self.est_poses[idx]
+                frame = frame._replace(
+                    R=jnp.asarray(R, jnp.float32), t=jnp.asarray(t, jnp.float32)
+                )
+            self.state = refine_step(self.state, frame, self.intr, self.mcfg)
+
+    def save_map(self, path: str):
+        st = self.state.gmap
+        active = np.asarray(st.active)
+        save_ply(
+            path,
+            np.asarray(st.params["xyz"])[active],
+            np.asarray(st.params["rgb"])[active],
+            np.asarray(st.params["opacity_logit"])[active],
+            np.asarray(st.params["log_scales"])[active],
+            np.asarray(st.params["quats"])[active],
+        )
+
+    def run(self, n_frames: int | None = None):
+        """Full sequential SLAM over the dataset (slam.py semantics)."""
+        n = len(self.dataset) if n_frames is None else n_frames
+        for idx in range(n):
+            self.process_frame(idx)
+            if (
+                self.scfg.eval_every
+                and idx > 0
+                and idx % self.scfg.eval_every == 0
+            ):
+                rmse = self.eval_ate(label=f"{idx}")
+                Log(f"frame {idx}: ATE RMSE {rmse:.4f}", tag="Eval")
+        rmse = self.eval_ate(label="final")
+        Log(f"final ATE RMSE {rmse:.4f}", tag="Eval")
+        if self.scfg.save_dir:
+            self.save_map(
+                f"{self.scfg.save_dir}/point_cloud/final/point_cloud.ply"
+            )
+        return rmse

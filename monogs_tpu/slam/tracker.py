@@ -1,0 +1,171 @@
+"""Tracker (SLAM frontend): per-frame camera-pose optimization.
+
+TPU-native counterpart of the reference tracking loop
+(/root/reference/utils/slam_tracker.py:83-193): Adam over the se(3) pose
+delta (rho, theta) and the exposure affine (a, b), rendering through the
+differentiable rasterizer each iteration, retracting
+T_w2c <- SE3_exp([rho, theta]) @ T_w2c and re-zeroing the deltas
+(pose_utils.py:76-93), with convergence exit at ||tau|| < 1e-4.
+
+TPU-first shape: the whole ≤100-iteration optimization is ONE jitted
+`lax.while_loop` (SURVEY.md §7 hard part 4) — no per-iteration host
+round-trips, no optimizer-object rebuilds. Adam moments persist across
+iterations on the local (retracted-every-step) coordinates, exactly like the
+reference's torch.optim.Adam over deltas that are zeroed after each step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gaussian_map import get_opacity, get_scales
+from ..ops import lie
+from ..ops.graphics import Intrinsics
+from ..ops.losses import get_loss_tracking, get_median_depth
+from ..ops.render import render
+from ..ops.tile_raster import TOUCH_T_MIN  # noqa: F401  (doc cross-ref)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Static tracking hyperparameters (reference slam_tracker.py:63-73 and
+    configs/*/base_config.yaml Training.lr)."""
+
+    max_iters: int = 100          # tracking_itr_num
+    convergence_threshold: float = 1e-4
+    opacity_threshold: float = 0.99  # loss gate (slam_utils.py:71)
+    lr_rot: float = 0.003         # Training.lr.cam_rot_delta
+    lr_trans: float = 0.001       # Training.lr.cam_trans_delta
+    lr_exposure: float = 0.01     # slam_tracker.py:121-131
+    adam_eps: float = 1e-8        # torch.optim.Adam default
+    tile_capacity: int = 1024
+    max_dup: int = 32
+    backend: str = "pallas"
+    isotropic: bool = False
+
+
+class TrackResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    exposure_a: jnp.ndarray
+    exposure_b: jnp.ndarray
+    n_iters: jnp.ndarray         # () int32 iterations actually run
+    converged: jnp.ndarray       # () bool
+    median_depth: jnp.ndarray    # () from the final render
+    visibility: jnp.ndarray      # (N,) bool  n_touched > 0 (slam_tracker.py:414)
+    render_depth: jnp.ndarray    # (H,W)
+    render_opacity: jnp.ndarray  # (H,W)
+
+
+class _Adam4(NamedTuple):
+    """Adam moments for (rho, theta, exposure_a, exposure_b)."""
+
+    mu: tuple
+    nu: tuple
+    step: jnp.ndarray
+
+
+def _adam4_init():
+    z3 = jnp.zeros(3)
+    z = jnp.zeros(())
+    return _Adam4(mu=(z3, z3, z, z), nu=(z3, z3, z, z),
+                  step=jnp.zeros((), jnp.int32))
+
+
+def _adam4_update(grads, st: _Adam4, lrs, eps):
+    step = st.step + 1
+    t = step.astype(jnp.float32)
+    bc1 = 1.0 - 0.9 ** t
+    bc2 = 1.0 - 0.999 ** t
+    mu = tuple(0.9 * m + 0.1 * g for m, g in zip(st.mu, grads))
+    nu = tuple(0.999 * v + 0.001 * g * g for v, g in zip(st.nu, grads))
+    upd = tuple(
+        -lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+        for m, v, lr in zip(mu, nu, lrs)
+    )
+    return upd, _Adam4(mu=mu, nu=nu, step=step)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("intr", "cfg", "bg_is_zero")
+)
+def track_frame(
+    params: dict,
+    active: jnp.ndarray,
+    frame,                        # Frame (slam.camera)
+    intr: Intrinsics,
+    cfg: TrackerConfig,
+    bg: jnp.ndarray | None = None,
+    bg_is_zero: bool = True,
+) -> TrackResult:
+    """Optimize the pose of `frame` against the current map."""
+    scales = get_scales(params, cfg.isotropic)
+    opac = get_opacity(params)
+
+    def loss_fn(rho, theta, ea, eb, R, t):
+        out = render(
+            params["xyz"], scales, params["quats"], opac, params["rgb"],
+            R, t, intr, rho=rho, theta=theta, active=active,
+            bg=None if bg_is_zero else bg,
+            tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+            backend=cfg.backend,
+        )
+        loss = get_loss_tracking(
+            out.rgb, out.depth, out.opacity,
+            frame.rgb, frame.depth, frame.mask, frame.grad_mask, ea, eb,
+            opacity_threshold=cfg.opacity_threshold,
+        )
+        return loss
+
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2, 3))
+
+    def cond(carry):
+        i, converged, *_ = carry
+        return (i < cfg.max_iters) & ~converged
+
+    def body(carry):
+        i, _, R, t, ea, eb, adam = carry
+        z3 = jnp.zeros(3)
+        g_rho, g_theta, g_ea, g_eb = grad_fn(z3, z3, ea, eb, R, t)
+        upd, adam = _adam4_update(
+            (g_rho, g_theta, g_ea, g_eb), adam,
+            (cfg.lr_trans, cfg.lr_rot, cfg.lr_exposure, cfg.lr_exposure),
+            cfg.adam_eps,
+        )
+        d_rho, d_theta, d_ea, d_eb = upd
+        R, t = lie.apply_pose_delta(R, t, d_rho, d_theta)
+        ea = ea + d_ea
+        eb = eb + d_eb
+        tau = jnp.concatenate([d_rho, d_theta])
+        converged = jnp.linalg.norm(tau) < cfg.convergence_threshold
+        return (i + 1, converged, R, t, ea, eb, adam)
+
+    init = (
+        jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+        frame.R, frame.t, frame.exposure_a, frame.exposure_b, _adam4_init(),
+    )
+    n_iters, converged, R, t, ea, eb, _ = jax.lax.while_loop(cond, body, init)
+
+    # Final no-grad render for median depth + visibility
+    # (slam_tracker.py:192,414).
+    out = render(
+        params["xyz"], scales, params["quats"], opac, params["rgb"],
+        R, t, intr, active=active,
+        bg=None if bg_is_zero else bg,
+        tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+        backend=cfg.backend,
+    )
+    median_depth = get_median_depth(out.depth, out.opacity > 0.0)
+
+    return TrackResult(
+        R=R, t=t, exposure_a=ea, exposure_b=eb,
+        n_iters=n_iters, converged=converged,
+        median_depth=median_depth,
+        visibility=out.n_touched > 0,
+        render_depth=out.depth, render_opacity=out.opacity,
+    )

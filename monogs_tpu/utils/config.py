@@ -1,0 +1,148 @@
+"""Config loading: YAML with recursive `inherit_from` deep-merge.
+
+Parity: /root/reference/utils/config_utils.py:4-50. Additionally builds the
+typed static configs (TrackerConfig / MapperConfig / KeyframeConfig) that the
+jitted SLAM steps take as hashable arguments — restoring full config-driven
+behavior where the reference fork hard-codes values (SURVEY.md §5 note on
+slam_tracker.py:63-73, slam_mapper.py:61-90).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import yaml
+
+
+def update_recursive(dict1: dict, dict2: dict):
+    """Deep-merge dict2 into dict1 (config_utils.py:36-50)."""
+    for k, v in dict2.items():
+        if k not in dict1:
+            dict1[k] = {}
+        if isinstance(v, dict):
+            update_recursive(dict1[k], v)
+        else:
+            dict1[k] = v
+
+
+def load_config(path: str, default_path: str | None = None) -> dict:
+    """config_utils.py:4-33: load YAML, recursively resolving inherit_from."""
+    with open(path) as f:
+        cfg_special = yaml.full_load(f)
+
+    inherit = cfg_special.get("inherit_from")
+    if inherit is not None:
+        cfg = load_config(inherit, default_path)
+    elif default_path is not None:
+        with open(default_path) as f:
+            cfg = yaml.full_load(f)
+    else:
+        cfg = {}
+    update_recursive(cfg, cfg_special)
+    return cfg
+
+
+def _get(cfg: dict, *path, default=None):
+    cur = cfg
+    for p in path:
+        if not isinstance(cur, dict) or p not in cur:
+            return default
+        cur = cur[p]
+    return cur
+
+
+def build_tracker_config(cfg: dict, backend: str = "pallas"):
+    from ..slam.tracker import TrackerConfig
+
+    g = lambda *p, d=None: _get(cfg, *p, default=d)
+    return TrackerConfig(
+        max_iters=g("Training", "tracking_itr_num", d=100),
+        lr_rot=g("Training", "lr", "cam_rot_delta", d=0.003),
+        lr_trans=g("Training", "lr", "cam_trans_delta", d=0.001),
+        tile_capacity=g("Raster", "tile_capacity", d=1024),
+        max_dup=g("Raster", "max_dup", d=32),
+        backend=backend,
+        isotropic=g("Gaussians", "isotropic", d=False),
+    )
+
+
+def build_mapper_config(cfg: dict, backend: str = "pallas"):
+    from ..slam.mapper import MapperConfig
+
+    g = lambda *p, d=None: _get(cfg, *p, default=d)
+    return MapperConfig(
+        init_itr_num=g("Training", "init_itr_num", d=1050),
+        init_gaussian_update=g("Training", "init_gaussian_update", d=100),
+        init_gaussian_reset=g("Training", "init_gaussian_reset", d=500),
+        init_gaussian_th=g("Training", "init_gaussian_th", d=0.005),
+        init_gaussian_extent=g("Training", "init_gaussian_extent", d=30.0),
+        iters_per_kf=g("Training", "mapping_itr_num", d=300),
+        gaussian_update_every=g("Training", "gaussian_update_every", d=150),
+        gaussian_update_offset=g("Training", "gaussian_update_offset", d=50),
+        gaussian_th=g("Training", "gaussian_th", d=0.7),
+        gaussian_extent=g("Training", "gaussian_extent", d=1.0),
+        gaussian_reset=g("Training", "gaussian_reset", d=2001),
+        size_threshold=g("Training", "size_threshold", d=20.0),
+        window_size=g("Training", "window_size", d=8),
+        densify_grad_threshold=g(
+            "opt_params", "densify_grad_threshold", d=2e-4
+        ),
+        percent_dense=g("opt_params", "percent_dense", d=0.01),
+        position_lr_init=g("opt_params", "position_lr_init", d=1.6e-3),
+        position_lr_final=g("opt_params", "position_lr_final", d=1.6e-6),
+        position_lr_delay_mult=g("opt_params", "position_lr_delay_mult", d=0.01),
+        position_lr_max_steps=g("opt_params", "position_lr_max_steps", d=30000),
+        feature_lr=g("opt_params", "feature_lr", d=2.5e-3),
+        opacity_lr=g("opt_params", "opacity_lr", d=0.05),
+        scaling_lr=g("opt_params", "scaling_lr", d=1e-3),
+        rotation_lr=g("opt_params", "rotation_lr", d=1e-3),
+        lr_rot=g("Training", "lr", "cam_rot_delta", d=0.003) * 0.5,
+        lr_trans=g("Training", "lr", "cam_trans_delta", d=0.001) * 0.5,
+        lambda_ssim=g("opt_params", "lambda_ssim", d=0.2),
+        tile_capacity=g("Raster", "tile_capacity", d=512),
+        max_dup=g("Raster", "max_dup", d=16),
+        backend=backend,
+        isotropic=g("Gaussians", "isotropic", d=False),
+    )
+
+
+def build_keyframe_config(cfg: dict):
+    from ..slam.keyframes import KeyframeConfig
+
+    g = lambda *p, d=None: _get(cfg, *p, default=d)
+    return KeyframeConfig(
+        kf_translation=g("Training", "kf_translation", d=0.08),
+        kf_min_translation=g("Training", "kf_min_translation", d=0.05),
+        kf_overlap=g("Training", "kf_overlap", d=0.9),
+        kf_cutoff=g("Training", "kf_cutoff", d=0.3),
+        window_size=g("Training", "window_size", d=8),
+        kf_interval=g("Training", "kf_interval", d=1),
+        check_viewpoints_overlap=g(
+            "Training", "check_viewpoints_overlap", d=False
+        ),
+    )
+
+
+@dataclasses.dataclass
+class SystemConfig:
+    """Top-level run options (reference slam.py Args/System dataclasses)."""
+
+    map_capacity: int = 1 << 17
+    capacity_headroom: int = 8192   # grow when free slots drop below this
+    seed: int = 0
+    save_dir: str | None = None
+    eval_every: int = 10            # save_trj_every (slam_tracker.py:67)
+    use_gt_pose: bool = False       # debug: skip tracking
+    backend: str = "pallas"
+
+
+def build_system_config(cfg: dict) -> SystemConfig:
+    g = lambda *p, d=None: _get(cfg, *p, default=d)
+    return SystemConfig(
+        map_capacity=g("System", "map_capacity", d=1 << 17),
+        capacity_headroom=g("System", "capacity_headroom", d=8192),
+        seed=g("System", "seed", d=0),
+        save_dir=g("Results", "save_dir", d=None),
+        eval_every=g("Results", "save_trj_kf_intv", d=10),
+        backend=g("System", "backend", d="pallas"),
+    )

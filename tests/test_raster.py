@@ -26,10 +26,7 @@ CAP = 128  # tile capacity (one CHUNK)
 
 
 def _intr():
-    return Intrinsics(
-        fx=jnp.float32(60.0), fy=jnp.float32(60.0),
-        cx=jnp.float32(W / 2), cy=jnp.float32(H / 2), width=W, height=H,
-    )
+    return Intrinsics(fx=60.0, fy=60.0, cx=W / 2, cy=H / 2, width=W, height=H)
 
 
 def _scene(n=40, seed=0, spread=0.5):

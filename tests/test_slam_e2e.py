@@ -1,0 +1,109 @@
+"""End-to-end SLAM smoke tests on a synthetic RGB-D sequence.
+
+The synthetic dataset has known ground truth, so these are the ATE/PSNR
+regression tier of SURVEY.md §4 (reference relies on downloaded TUM/Replica;
+a zero-egress test rig uses a closed-form scene instead).
+
+Small configs keep CPU runtime bounded; they exercise the full pipeline:
+map init with densify/reset, per-frame tracking with pose gradients,
+keyframing + window management, window mapping with pose optimization,
+covisibility pruning, ATE/PSNR eval, and PLY export.
+"""
+
+import numpy as np
+import pytest
+
+from monogs_tpu.data.synthetic import SyntheticDataset
+from monogs_tpu.slam.keyframes import KeyframeConfig
+from monogs_tpu.slam.mapper import MapperConfig
+from monogs_tpu.slam.system import SLAM
+from monogs_tpu.slam.tracker import TrackerConfig
+from monogs_tpu.utils.config import SystemConfig
+
+CFG = {
+    "Dataset": {
+        "type": "synthetic",
+        "Calibration": {
+            "width": 96, "height": 64,
+            "fx": 80.0, "fy": 80.0, "cx": 48.0, "cy": 32.0,
+            "depth_scale": 1.0,
+        },
+        "Objects": {"static": [0], "dynamic": [], "masked": []},
+        "synthetic": {
+            "n_frames": 8, "n_gaussians": 800, "seed": 3,
+            "motion_scale": 0.01,
+        },
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def slam_run():
+    ds = SyntheticDataset(CFG)
+    tcfg = TrackerConfig(max_iters=40, tile_capacity=128, max_dup=32,
+                         backend="ref", opacity_threshold=0.5)
+    # Scaled-down budgets; like the reference, the opacity reset needs ample
+    # post-reset iterations to recover (500/1050 there, 60/160 here).
+    mcfg = MapperConfig(
+        init_itr_num=160, init_gaussian_update=50, init_gaussian_reset=60,
+        iters_per_kf=30, gaussian_update_every=60, gaussian_update_offset=10,
+        window_size=4, tile_capacity=128, max_dup=32, backend="ref",
+    )
+    kcfg = KeyframeConfig(window_size=4, kf_interval=1)
+    scfg = SystemConfig(map_capacity=8192, capacity_headroom=512, seed=0)
+    slam = SLAM(ds, tracker_config=tcfg, mapper_config=mcfg,
+                keyframe_config=kcfg, system_config=scfg)
+    rmse = slam.run()
+    return slam, rmse
+
+
+def test_trajectory_error_bounded(slam_run):
+    slam, rmse = slam_run
+    # Camera moves ~0.01/frame; tracking must do far better than identity.
+    motions = []
+    for i in range(1, len(slam.gt_poses)):
+        t_prev = slam.gt_poses[i - 1][1]
+        t_cur = slam.gt_poses[i][1]
+        motions.append(np.linalg.norm(np.asarray(t_cur) - np.asarray(t_prev)))
+    assert rmse < 0.5 * float(np.sum(motions)), (
+        f"ATE {rmse} worse than half of ignoring all motion"
+    )
+    assert rmse < 0.05
+
+
+def test_map_nontrivial(slam_run):
+    slam, _ = slam_run
+    n = int(slam.state.gmap.num_active)
+    assert 100 < n < slam.state.gmap.capacity
+
+
+def test_rendering_quality(slam_run):
+    slam, _ = slam_run
+    res = slam.eval_rendering(every=3)
+    assert res["mean_psnr"] > 15.0, res
+    assert res["n_frames"] >= 2
+
+
+def test_keyframe_window_managed(slam_run):
+    slam, _ = slam_run
+    assert 1 <= len(slam.kf_list) <= 4 + 1
+    assert all(i in slam.vis_dict for i in slam.kf_list)
+
+
+def test_ply_roundtrip(tmp_path, slam_run):
+    slam, _ = slam_run
+    from monogs_tpu.utils.ply import load_ply
+
+    path = str(tmp_path / "map.ply")
+    slam.save_map(path)
+    data = load_ply(path)
+    assert data["xyz"].shape[0] == int(slam.state.gmap.num_active)
+    assert data["quats"].shape[1] == 4
+
+
+def test_refinement_improves_or_holds_psnr(slam_run):
+    slam, _ = slam_run
+    before = slam.eval_rendering(every=4)["mean_psnr"]
+    slam.refine(iters=20)
+    after = slam.eval_rendering(every=4)["mean_psnr"]
+    assert after > before - 1.0  # must not blow up the map
