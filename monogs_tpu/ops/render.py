@@ -84,7 +84,9 @@ def render_projected(
         mean2d, proj.conic, opacity, proj.rgb, proj.depth, bins.index_matrix
     )                                               # (T, 16, K)
 
-    out, touched = composite_tiles(feats, cfg, backend=backend)
+    out, touched = composite_tiles(
+        feats, cfg, counts=bins.counts, backend=backend
+    )
 
     img = _assemble_image(out, cfg)                 # (H, W, 8)
     alpha = img[:, :, 4]
@@ -168,15 +170,17 @@ def render_window(
         feats = pack_features(
             mean2d, proj.conic, opa, proj.rgb, proj.depth, bins.index_matrix
         )                                           # (T, 16, K)
-        return feats, bins.index_matrix, proj.radius, bins.overflow
+        return feats, bins.index_matrix, bins.counts, proj.radius, bins.overflow
 
-    feats, idx_mats, radii, overflows = jax.vmap(per_kf)(
+    feats, idx_mats, counts, radii, overflows = jax.vmap(per_kf)(
         Rs, ts, rhos, thetas, mean2d_dummy
     )                                               # (W,T,16,K), (W,T,K), ...
 
     T, K = feats.shape[1], feats.shape[3]
     feats_all = feats.reshape(Wn * T, feats.shape[2], K)
-    out, touched = composite_tiles(feats_all, cfg, backend=backend)
+    out, touched = composite_tiles(
+        feats_all, cfg, counts=counts.reshape(Wn * T), backend=backend
+    )
 
     imgs = jax.vmap(lambda o: _assemble_image(o, cfg))(
         out.reshape(Wn, T, cfg.pixels, 8)

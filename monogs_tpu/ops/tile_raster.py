@@ -203,14 +203,19 @@ def _chunk_alpha(feats_ref, ck, ox, oy, x, y):
     return u, v, a, b, c, opa, expp, alpha_raw, ok, alpha
 
 
-def _fwd_kernel(feats_ref, out_ref, touched_ref, *, cfg: RasterConfig, K: int):
+def _fwd_kernel(counts_ref, feats_ref, out_ref, touched_ref, *,
+                cfg: RasterConfig, K: int):
     P = cfg.pixels
     ox, oy = _tile_origin(cfg)
     x, y, _ = _pix_basis(cfg)
     strict, _ = _tri_matrices()
     pix_valid = ((ox + x - 0.5) < cfg.img_w) & ((oy + y - 0.5) < cfg.img_h)
 
-    n_chunks = K // CHUNK
+    # Only the occupied prefix of the slot axis does work (per-tile counts
+    # arrive via scalar prefetch); outputs are zero-initialized first.
+    touched_ref[0] = jnp.zeros((8, K), jnp.int32)
+    count = counts_ref[pl.program_id(0)]
+    n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, K // CHUNK)
 
     def body(ck, carry):
         logT, acc = carry                     # (P,1), (P,8)
@@ -244,18 +249,14 @@ def _fwd_kernel(feats_ref, out_ref, touched_ref, *, cfg: RasterConfig, K: int):
                 (ok & (Tk > TOUCH_T_MIN) & pix_valid).astype(jnp.int32),
                 axis=0, keepdims=True,
             )                                 # (1, CHUNK)
-            touched_ref[0, :, sl] = jnp.concatenate(
-                [cnt, jnp.zeros((7, CHUNK), jnp.int32)], axis=0
-            )
+            touched_ref[0, 0:1, sl] = cnt
             logT = logT + jnp.sum(log1m, axis=1, keepdims=True)
             return logT, acc
 
-        def dead(carry):
-            sl = pl.ds(ck * CHUNK, CHUNK)
-            touched_ref[0, :, sl] = jnp.zeros((8, CHUNK), jnp.int32)
-            return carry
-
-        return jax.lax.cond(jnp.max(logT) > LOG_SKIP, live, dead, carry)
+        # Outputs are pre-zeroed; a saturated tile skips the remaining work.
+        return jax.lax.cond(
+            jnp.max(logT) > LOG_SKIP, live, lambda c: c, carry
+        )
 
     logT0 = jnp.zeros((P, 1), jnp.float32)
     acc0 = jnp.zeros((P, 8), jnp.float32)
@@ -263,7 +264,8 @@ def _fwd_kernel(feats_ref, out_ref, touched_ref, *, cfg: RasterConfig, K: int):
     out_ref[0] = acc
 
 
-def _bwd_kernel(feats_ref, baux_ref, dfeats_ref, *, cfg: RasterConfig, K: int):
+def _bwd_kernel(counts_ref, feats_ref, baux_ref, dfeats_ref, *,
+                cfg: RasterConfig, K: int):
     """baux: (1, P, 8) columns [g_r, g_g, g_b, g_depth, g_alpha, A, 0, 0]
     where A = per-pixel total sum_j w_j g_j (precomputed outside)."""
     ox, oy = _tile_origin(cfg)
@@ -273,7 +275,9 @@ def _bwd_kernel(feats_ref, baux_ref, dfeats_ref, *, cfg: RasterConfig, K: int):
     gvec = baux_ref[0, :, 0:5]                # (P, 5)
     A = baux_ref[0, :, 5:6]                   # (P, 1)
 
-    n_chunks = K // CHUNK
+    dfeats_ref[0] = jnp.zeros((FEAT_ROWS, K), jnp.float32)
+    count = counts_ref[pl.program_id(0)]
+    n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, K // CHUNK)
 
     def body(ck, carry):
         logT, wg_pref = carry                 # (P,1), (P,1)
@@ -343,61 +347,69 @@ def _bwd_kernel(feats_ref, baux_ref, dfeats_ref, *, cfg: RasterConfig, K: int):
             wg_pref = wg_pref + jnp.sum(wg, axis=1, keepdims=True)
             return logT, wg_pref
 
-        def dead(carry):
-            dfeats_ref[0, :, sl] = jnp.zeros((FEAT_ROWS, CHUNK), jnp.float32)
-            return carry
-
-        return jax.lax.cond(jnp.max(logT) > LOG_SKIP, live, dead, carry)
+        # Outputs are pre-zeroed; a saturated tile skips the remaining work.
+        return jax.lax.cond(
+            jnp.max(logT) > LOG_SKIP, live, lambda c: c, carry
+        )
 
     logT0 = jnp.zeros((cfg.pixels, 1), jnp.float32)
     wg0 = jnp.zeros((cfg.pixels, 1), jnp.float32)
     jax.lax.fori_loop(0, n_chunks, body, (logT0, wg0))
 
 
-def _fwd_pallas(feats: jnp.ndarray, cfg: RasterConfig):
+def _fwd_pallas(feats: jnp.ndarray, counts: jnp.ndarray, cfg: RasterConfig):
     T, K = feats.shape[0], feats.shape[2]
     P = cfg.pixels
     kern = functools.partial(_fwd_kernel, cfg=cfg, K=K)
-    out, touched8 = pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, FEAT_ROWS, K), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, FEAT_ROWS, K), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, P, 8), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, K), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, 8, K), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+    )
+    out, touched8 = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, P, 8), jnp.float32),
             jax.ShapeDtypeStruct((T, 8, K), jnp.int32),
         ],
         interpret=_interpret_mode(),
-    )(feats)
+    )(counts, feats)
     return out, touched8[:, 0, :]
 
 
-def _bwd_pallas(feats: jnp.ndarray, baux: jnp.ndarray, cfg: RasterConfig):
+def _bwd_pallas(feats: jnp.ndarray, counts: jnp.ndarray, baux: jnp.ndarray,
+                cfg: RasterConfig):
     T, K = feats.shape[0], feats.shape[2]
     P = cfg.pixels
     kern = functools.partial(_bwd_kernel, cfg=cfg, K=K)
-    dfeats = pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, FEAT_ROWS, K), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, FEAT_ROWS, K), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 8), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, FEAT_ROWS, K), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, FEAT_ROWS, K), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
+    )
+    dfeats = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, FEAT_ROWS, K), jnp.float32),
         interpret=_interpret_mode(),
-    )(feats, baux)
+    )(counts, feats, baux)
     return dfeats
 
 
@@ -412,18 +424,19 @@ def _interpret_mode() -> bool:
 # --- custom_vjp wrapper -----------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def composite_tiles_pallas(feats: jnp.ndarray, cfg: RasterConfig):
-    return _fwd_pallas(feats, cfg)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def composite_tiles_pallas(feats: jnp.ndarray, counts: jnp.ndarray,
+                           cfg: RasterConfig):
+    return _fwd_pallas(feats, counts, cfg)
 
 
-def _composite_fwd(feats, cfg):
-    out, touched = _fwd_pallas(feats, cfg)
-    return (out, touched), (feats, out)
+def _composite_fwd(feats, counts, cfg):
+    out, touched = _fwd_pallas(feats, counts, cfg)
+    return (out, touched), (feats, counts, out)
 
 
 def _composite_bwd(cfg, res, cotangents):
-    feats, out = res
+    feats, counts, out = res
     g_out, _ = cotangents  # touched is non-differentiable
     g5 = g_out[:, :, 0:5]
     # Per-pixel total A = sum_j w_j g_j, recoverable from forward outputs:
@@ -432,19 +445,26 @@ def _composite_bwd(cfg, res, cotangents):
     baux = jnp.concatenate(
         [g5, A, jnp.zeros_like(g_out[:, :, 0:2])], axis=-1
     )
-    dfeats = _bwd_pallas(feats, baux, cfg)
-    return (dfeats,)
+    dfeats = _bwd_pallas(feats, counts, baux, cfg)
+    d_counts = jnp.zeros(counts.shape, jax.dtypes.float0)
+    return (dfeats, d_counts)
 
 
 composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)
 
 
-def composite_tiles(feats: jnp.ndarray, cfg: RasterConfig, backend: str = "pallas"):
+def composite_tiles(
+    feats: jnp.ndarray, cfg: RasterConfig, counts: jnp.ndarray | None = None,
+    backend: str = "pallas",
+):
     """Dispatch: 'pallas' (TPU kernels; interpreted off-TPU) or 'ref'
-    (pure-JAX oracle). feats: (T, 16, K)."""
+    (pure-JAX oracle). feats: (T, 16, K); counts: (T,) occupied slots per
+    tile (None = assume full; padded slots are zero-opacity either way)."""
     if backend == "ref":
         return composite_tiles_ref(feats, cfg)
-    return composite_tiles_pallas(feats, cfg)
+    if counts is None:
+        counts = jnp.full((feats.shape[0],), feats.shape[2], jnp.int32)
+    return composite_tiles_pallas(feats, counts, cfg)
 
 
 def pack_features(

@@ -75,6 +75,35 @@ class SLAM:
         self.median_depth = 1.0
         self.state: MapperState | None = None
         self.metrics = {"ate": [], "tracking_iters": [], "frame_times": []}
+        self.viewer = None
+
+    def start_viewer(self, port: int = 8890):
+        """Launch the in-process web viewer (reference GUI counterpart,
+        slam.py:120-121 spawns an Open3D process instead)."""
+        from ..viewer.server import ViewerServer, make_render_fn
+
+        self.viewer = ViewerServer(make_render_fn(self), port=port).start()
+        Log(f"Viewer at http://localhost:{port}", tag="System")
+        return self.viewer
+
+    def _push_viewer(self, idx: int, frame):
+        if self.viewer is None:
+            return
+        from ..viewer.packets import MainToViewerPacket
+
+        st = self.state.gmap
+        self.viewer.push(
+            MainToViewerPacket(
+                params=st.params, active=st.active, kf_idx=st.kf_idx,
+                obj_prob=st.obj_prob, intrinsics=self.intr,
+                cur_frame_idx=idx,
+                cur_pose=(np.asarray(frame.R), np.asarray(frame.t)),
+                gt_pose=(np.asarray(frame.R_gt), np.asarray(frame.t_gt)),
+                kf_poses={i: self.est_poses[i] for i in self.kf_list},
+                gt_rgb=frame.rgb, gt_depth=frame.depth,
+                gt_segmentation=frame.segmentation,
+            )
+        )
 
     # -- frame plumbing ------------------------------------------------------
 
@@ -219,6 +248,14 @@ class SLAM:
                 res.visibility, self.vis_dict[last_kf],
                 self.median_depth, self.kcfg,
             )
+
+        # GUI pause handling (slam_tracker.py:335-348) + live packet.
+        if self.viewer is not None:
+            import time as _time
+
+            while self.viewer.paused:
+                _time.sleep(0.05)
+        self._push_viewer(idx, frame)
 
         if create_kf:
             self.vis_dict[idx] = res.visibility

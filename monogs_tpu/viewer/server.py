@@ -1,0 +1,215 @@
+"""Web viewer: live map rendering in the browser.
+
+TPU-native replacement for the reference's Open3D GUI process
+(/root/reference/viewer/slam_viewer.py:36-812): instead of an OS process with
+an OpenGL context, a background thread serves an HTML page with orbit/fly
+controls; every requested view is rendered with the SAME differentiable
+rasterizer used for SLAM (the reference GUI likewise re-renders through its
+CUDA rasterizer, slam_viewer.py:695-727). Shader modes mirror the reference
+combo box (slam_viewer.py:226-231): rgb, depth, segmentation, time (kf-index
+colormap); pause/resume is relayed back through a ViewerToMainPacket.
+
+Zero extra dependencies: stdlib http.server + PNG via cv2.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from .packets import LatestSlot, MainToViewerPacket, ViewerToMainPacket
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>monogs_tpu viewer</title><style>
+body{margin:0;background:#111;color:#ddd;font-family:monospace}
+#hud{position:fixed;top:8px;left:8px;background:#0008;padding:8px}
+img{display:block;margin:auto;image-rendering:pixelated}
+button,select{background:#333;color:#ddd;border:1px solid #555;margin:2px}
+</style></head><body>
+<div id="hud">
+  <div>frame <span id="fidx">-</span> | drag=orbit wheel=zoom shift-drag=pan</div>
+  <select id="shader"><option>rgb</option><option>depth</option>
+  <option>segmentation</option><option>time</option></select>
+  <button id="pause">pause</button>
+  <button id="follow">follow cam</button>
+</div>
+<img id="view" width="960">
+<script>
+let yaw=0,pitch=0,dist=0,panx=0,pany=0,follow=true,paused=false,busy=false;
+const img=document.getElementById('view');
+function refresh(){ if(busy) return; busy=true;
+  const q=`/render?yaw=${yaw}&pitch=${pitch}&dist=${dist}&panx=${panx}&pany=${pany}&follow=${follow?1:0}&shader=${document.getElementById('shader').value}`;
+  fetch(q).then(r=>r.blob()).then(b=>{img.src=URL.createObjectURL(b);busy=false;});
+  fetch('/state').then(r=>r.json()).then(s=>{document.getElementById('fidx').textContent=s.frame;});
+}
+setInterval(refresh, 250);
+let drag=false,px=0,py=0;
+img.onmousedown=e=>{drag=true;px=e.x;py=e.y;follow=false;};
+window.onmouseup=()=>drag=false;
+window.onmousemove=e=>{if(!drag)return;
+  if(e.shiftKey){panx+=(e.x-px)*0.003;pany+=(e.y-py)*0.003;}
+  else{yaw+=(e.x-px)*0.005;pitch+=(e.y-py)*0.005;}
+  px=e.x;py=e.y;};
+img.onwheel=e=>{dist+=e.deltaY*0.002;e.preventDefault();follow=false;};
+document.getElementById('pause').onclick=()=>{paused=!paused;fetch('/pause?on='+(paused?1:0));};
+document.getElementById('follow').onclick=()=>{follow=true;yaw=pitch=dist=panx=pany=0;};
+</script></body></html>"""
+
+
+class ViewerServer:
+    def __init__(self, render_fn, port: int = 8890):
+        """render_fn(pose_R, pose_t, shader) -> (H,W,3) float image in [0,1];
+        rendered with the SLAM rasterizer on the device."""
+        self.slot = LatestSlot()
+        self.control = ViewerToMainPacket()
+        self._render_fn = render_fn
+        self._port = port
+        self._httpd = None
+        self._thread = None
+
+    # -- SLAM-side API -------------------------------------------------------
+
+    def push(self, packet: MainToViewerPacket):
+        self.slot.put(packet)
+
+    @property
+    def paused(self) -> bool:
+        return self.control.paused
+
+    def start(self):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _send(self, code, body, ctype="text/html"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                if url.path == "/":
+                    self._send(200, _PAGE.encode())
+                elif url.path == "/state":
+                    pkt = viewer.slot.get()
+                    body = json.dumps(
+                        {"frame": pkt.cur_frame_idx if pkt else -1,
+                         "paused": viewer.control.paused}
+                    ).encode()
+                    self._send(200, body, "application/json")
+                elif url.path == "/pause":
+                    viewer.control.paused = q.get("on") == "1"
+                    self._send(200, b"ok", "text/plain")
+                elif url.path == "/render":
+                    img = viewer._render_view(q)
+                    self._send(200, img, "image/png")
+                else:
+                    self._send(404, b"not found")
+
+        self._httpd = ThreadingHTTPServer(("0.0.0.0", self._port), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self):
+        if self._httpd:
+            self._httpd.shutdown()
+
+    # -- rendering -----------------------------------------------------------
+
+    def _orbit_pose(self, pkt, q):
+        """Compose user orbit controls with the followed camera pose
+        (reference free-view via the o3d scene camera, slam_viewer.py:731)."""
+        import jax.numpy as jnp
+
+        from ..ops import lie
+
+        R, t = pkt.cur_pose if pkt.cur_pose else (np.eye(3), np.zeros(3))
+        if q.get("follow") == "1":
+            return np.asarray(R), np.asarray(t)
+        yaw = float(q.get("yaw", 0.0))
+        pitch = float(q.get("pitch", 0.0))
+        dist = float(q.get("dist", 0.0))
+        panx = float(q.get("panx", 0.0))
+        pany = float(q.get("pany", 0.0))
+        d_R = np.asarray(
+            lie.so3_exp(jnp.array([pitch, yaw, 0.0], jnp.float32))
+        )
+        R2 = d_R @ np.asarray(R)
+        t2 = d_R @ np.asarray(t) + np.array([panx, pany, dist])
+        return R2, t2
+
+    def _render_view(self, q) -> bytes:
+        import cv2
+
+        pkt = self.slot.get()
+        if pkt is None or pkt.params is None:
+            blank = np.zeros((16, 16, 3), np.uint8)
+            ok, png = cv2.imencode(".png", blank)
+            return png.tobytes()
+        R, t = self._orbit_pose(pkt, q)
+        img = self._render_fn(R, t, q.get("shader", "rgb"))
+        img8 = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+        ok, png = cv2.imencode(".png", cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
+        return png.tobytes()
+
+
+def make_render_fn(slam, max_width: int = 480):
+    """Build a render_fn over a SLAM instance with the reference's shader
+    modes (slam_viewer.py:695-727): segmentation colors and kf-index 'time'
+    colormap override the per-Gaussian color before rasterization."""
+    import jax.numpy as jnp
+
+    from ..models import gaussian_map as gm
+    from ..ops.graphics import Intrinsics
+    from ..ops.render import render
+
+    def render_fn(R, t, shader="rgb"):
+        st = slam.state.gmap
+        intr = slam.intr
+        scale = min(1.0, max_width / intr.width)
+        view_intr = Intrinsics(
+            fx=intr.fx * scale, fy=intr.fy * scale,
+            cx=intr.cx * scale, cy=intr.cy * scale,
+            width=int(intr.width * scale), height=int(intr.height * scale),
+        )
+        p = st.params
+        rgb = p["rgb"]
+        if shader == "segmentation":
+            k = st.obj_prob.shape[1]
+            palette = jnp.asarray(
+                np.random.RandomState(0).uniform(0.2, 1.0, (max(k, 1), 3))
+            )
+            rgb = st.obj_prob @ palette
+        elif shader == "time":
+            kf = st.kf_idx.astype(jnp.float32)
+            kmax = jnp.maximum(jnp.max(kf), 1.0)
+            tt = (kf / kmax)[:, None]
+            rgb = tt * jnp.array([[1.0, 0.2, 0.1]]) + (1 - tt) * jnp.array(
+                [[0.1, 0.3, 1.0]]
+            )
+        out = render(
+            p["xyz"], gm.get_scales(p, slam.mcfg.isotropic), p["quats"],
+            gm.get_opacity(p), rgb,
+            jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32),
+            view_intr, active=st.active,
+            tile_capacity=slam.mcfg.tile_capacity, max_dup=slam.mcfg.max_dup,
+            backend=slam.mcfg.backend,
+        )
+        if shader == "depth":
+            d = out.depth / jnp.maximum(jnp.max(out.depth), 1e-6)
+            return jnp.stack([d, d, jnp.sqrt(d)], axis=-1)
+        return out.rgb
+
+    return render_fn

@@ -1,0 +1,84 @@
+"""CLI entry point: run Gaussian-splatting SLAM from a YAML config.
+
+Counterpart of /root/reference/slam.py:502-627 (tyro CLI + SLAM bootstrap):
+    python slam.py --config configs/rgbd/tum/fr3_office.yaml [--eval] ...
+Creates a timestamped results/<dataset>_<scene>/<datetime> save dir with the
+merged config dumped (slam.py:592-609), runs the system, and optionally the
+rendering evaluation (--eval, README.md:134-140 semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser(description="TPU-native Gaussian Splatting SLAM")
+    ap.add_argument("--config", required=True, help="YAML config path")
+    ap.add_argument("--eval", action="store_true",
+                    help="run rendering evaluation (PSNR/SSIM) at the end")
+    ap.add_argument("--n-frames", type=int, default=None,
+                    help="limit the number of processed frames")
+    ap.add_argument("--backend", default=None, choices=["pallas", "ref"],
+                    help="rasterizer backend override")
+    ap.add_argument("--refine", type=int, default=0,
+                    help="color refinement iterations after SLAM")
+    ap.add_argument("--ate-align", action="store_true",
+                    help="Umeyama-align trajectories before ATE")
+    args = ap.parse_args()
+
+    import yaml
+
+    from monogs_tpu.data import load_dataset
+    from monogs_tpu.slam.system import SLAM
+    from monogs_tpu.utils.config import (
+        build_keyframe_config,
+        build_mapper_config,
+        build_system_config,
+        build_tracker_config,
+        load_config,
+    )
+    from monogs_tpu.utils.logging import Log
+
+    config = load_config(args.config)
+    backend = args.backend or config.get("System", {}).get("backend", "pallas")
+
+    # Timestamped save dir with merged-config dump (slam.py:592-609).
+    ds_cfg = config.get("Dataset", {})
+    scene = os.path.basename(os.path.normpath(ds_cfg.get("dataset_path", "run")))
+    stamp = time.strftime("%Y-%m-%d-%H-%M-%S")
+    save_root = config.get("Results", {}).get("save_dir", "results")
+    save_dir = os.path.join(save_root, f"{ds_cfg.get('type','x')}_{scene}", stamp)
+    os.makedirs(save_dir, exist_ok=True)
+    config.setdefault("Results", {})["save_dir"] = save_dir
+    with open(os.path.join(save_dir, "config.yml"), "w") as f:
+        yaml.dump(config, f)
+    Log(f"Results -> {save_dir}", tag="System")
+
+    dataset = load_dataset(config)
+    slam = SLAM(
+        dataset,
+        tracker_config=build_tracker_config(config, backend=backend),
+        mapper_config=build_mapper_config(config, backend=backend),
+        keyframe_config=build_keyframe_config(config),
+        system_config=build_system_config(config),
+    )
+    slam.scfg.save_dir = save_dir
+
+    rmse = slam.run(n_frames=args.n_frames)
+    if args.refine:
+        slam.refine(iters=args.refine)
+    if args.eval or config.get("Results", {}).get("eval_rendering", False):
+        res = slam.eval_rendering(every=5)
+        Log(f"PSNR {res['mean_psnr']:.2f} SSIM {res['mean_ssim']:.3f}",
+            tag="Eval")
+    if args.ate_align:
+        Log(f"aligned ATE {slam.eval_ate(label='aligned', align=True):.4f}",
+            tag="Eval")
+    return rmse
+
+
+if __name__ == "__main__":
+    main()

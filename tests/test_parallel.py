@@ -1,0 +1,86 @@
+"""Multi-device sharded mapping: 8-virtual-device CPU mesh (SURVEY.md §4:
+the TPU-world fake-backend analogue)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from monogs_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(8)
+
+
+def test_dryrun_multichip(mesh8):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_sharded_step_matches_single_device(mesh8):
+    """The sharded mapping step must be numerically equivalent to the
+    unsharded one (SPMD inserts collectives, not different math)."""
+    from monogs_tpu.models import gaussian_map as gm
+    from monogs_tpu.models.optim import init_adam
+    from monogs_tpu.ops.graphics import Intrinsics
+    from monogs_tpu.parallel.mesh import shard_mapper_state
+    from monogs_tpu.slam.camera import make_frame, window_from_list
+    from monogs_tpu.slam.mapper import (
+        MapperConfig,
+        MapperState,
+        extend_event,
+        init_pose_adam,
+        mapping_step,
+    )
+
+    W, H = 64, 48
+    intr = Intrinsics(fx=40.0, fy=40.0, cx=W / 2, cy=H / 2, width=W, height=H)
+    cfg = MapperConfig(tile_capacity=128, max_dup=8, window_size=8,
+                       backend="ref")
+
+    frames = []
+    for i in range(8):
+        key = jax.random.PRNGKey(i)
+        rgb = jax.random.uniform(key, (H, W, 3))
+        depth = jnp.full((H, W), 2.0) + 0.1 * i
+        pose = jnp.eye(4).at[0, 3].set(0.02 * i)
+        frames.append(make_frame(i, rgb, depth, pose))
+    window = window_from_list(frames, 8)
+
+    gmap = gm.init_map(512, 1)
+    state = MapperState(
+        gmap=gmap, adam=init_adam(gmap.params), window=window,
+        pose_adam=init_pose_adam(8),
+        nr_iters=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(0),
+    )
+    state, _ = extend_event(state, frames[0], 0, intr, cfg, init=True)
+
+    # Single-device result.
+    s1, aux1 = mapping_step(state, intr, cfg, init=False)
+    # Sharded result.
+    sh = shard_mapper_state(state, mesh8)
+    s2, aux2 = mapping_step(sh, intr, cfg, init=False)
+
+    np.testing.assert_allclose(float(aux1.loss), float(aux2.loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.gmap.params["xyz"]), np.asarray(s2.gmap.params["xyz"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.window.frames.t), np.asarray(s2.window.frames.t),
+        atol=1e-6,
+    )
+    # The window really was sharded across the 8 devices.
+    shardings = {
+        str(d.sharding.spec)
+        for d in [s2.window.frames.rgb]
+    }
+    assert any("win" in s for s in shardings), shardings
