@@ -80,6 +80,7 @@ class SyntheticDataset(BaseDataset):
         self.motion = float(syn.get("motion_scale", 0.012))
         self.scene = _gt_scene(self.n_gaussians, self.seed)
         self.poses = _trajectory(self.n_frames, self.motion)
+        self.use_depth = bool(syn.get("use_depth", True))  # False = monocular
         self._cache: dict[int, dict] = {}
 
     def __len__(self):
@@ -114,4 +115,7 @@ class SyntheticDataset(BaseDataset):
     def __getitem__(self, idx: int) -> dict:
         if idx not in self._cache:
             self._cache[idx] = self._render_frame(idx)
-        return self._cache[idx]
+        d = self._cache[idx]
+        if not self.use_depth:
+            d = dict(d, depth=None)
+        return d

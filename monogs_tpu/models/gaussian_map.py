@@ -157,6 +157,9 @@ def extend_from_keyframe(
     point_size: float = 0.01,
     max_new: int = 16384,
     isotropic: bool = False,
+    monocular: bool = False,
+    mono_init_depth: float = 2.0,
+    mono_depth_noise: float = 0.3,
 ) -> ExtendResult:
     """Seed new Gaussians from a keyframe (gaussian_model.py:121-392).
 
@@ -164,6 +167,12 @@ def extend_from_keyframe(
     (rendered opacity < 0.5 OR (gt_depth < rendered depth AND
     |err| > 50 * median err)). A random subset of 1/downsample of the masked
     pixels is unprojected; scales init from 3-NN mean distance * point_size.
+
+    Monocular mode (no sensor depth — upstream-MonoGS semantics; this fork's
+    depth-free path is broken mid-refactor, camera_utils.py:143-145 would
+    multiply None): seed depth is synthesized as a noisy constant at init and
+    a noisy rendered-depth median afterwards, with the densification mask
+    reduced to the low-opacity condition.
 
     Static shapes: up to `max_new` candidates are drawn by weighted top-k;
     the number actually activated equals the reference's
@@ -177,15 +186,31 @@ def extend_from_keyframe(
         img = jnp.clip(jnp.exp(exposure_a) * rgb + exposure_b, 0.0, 1.0)
         factor = downsample
 
-    valid = depth >= 1e-3
-    if not init and render_depth is not None:
-        opa_mask = render_opacity < 0.5
-        err = jnp.abs(depth - render_depth)
-        median_err = jnp.nan_to_num(
-            jnp.nanmedian(jnp.where(valid, err, jnp.nan)), nan=0.0
-        )
-        cond = (depth < render_depth) & (err > 50.0 * median_err)
-        valid = valid & (opa_mask | cond)
+    rng, rng_depth = jax.random.split(rng)
+    if monocular:
+        if init or render_depth is None:
+            base = jnp.asarray(mono_init_depth, depth.dtype)
+        else:
+            med = jnp.nanmedian(
+                jnp.where(render_depth > 1e-3, render_depth, jnp.nan)
+            )
+            base = jnp.nan_to_num(med, nan=mono_init_depth)
+        noise = jax.random.normal(rng_depth, depth.shape)
+        depth = base * (1.0 + mono_depth_noise * noise)
+        depth = jnp.maximum(depth, 0.1 * base)
+        valid = jnp.ones((H, W), bool)
+        if not init and render_opacity is not None:
+            valid = render_opacity < 0.5
+    else:
+        valid = depth >= 1e-3
+        if not init and render_depth is not None:
+            opa_mask = render_opacity < 0.5
+            err = jnp.abs(depth - render_depth)
+            median_err = jnp.nan_to_num(
+                jnp.nanmedian(jnp.where(valid, err, jnp.nan)), nan=0.0
+            )
+            cond = (depth < render_depth) & (err > 50.0 * median_err)
+            valid = valid & (opa_mask | cond)
 
     max_new = min(max_new, H * W)
     flat_valid = valid.reshape(-1)

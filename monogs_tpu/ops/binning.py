@@ -6,18 +6,22 @@ static-capacity (num_tiles, K) index matrix:
 
   1. each visible Gaussian covers a rectangle of tiles; it is duplicated into
      up to MAX_DUP (tile, depth, idx) entries (static-shape padding),
-  2. a two-key lexicographic sort by (tile_id, depth) groups entries per tile
-     in front-to-back order,
+  2. a single-int32-key sort groups entries per tile in front-to-back order —
+     the key packs [tile_id | top bits of the IEEE-754 depth], exploiting
+     that positive-float bit patterns are monotonic (same trick as the CUDA
+     64-bit tile|depth keys, at 2^-11 relative depth resolution),
   3. searchsorted finds each tile's segment; a gather builds the padded
      (T, K) matrix with sentinel index N for empty slots.
 
 The index matrix carries no gradients (indices are ints); gradients flow
-through the *gather* of Gaussian features by these indices, whose transpose
-(scatter-add) XLA generates automatically.
+through the *gather* of Gaussian features by these indices. To avoid XLA's
+slow scatter-add in the gather's transpose, binning also emits
+`slot_of_entry`: for every duplicated entry (gaussian i, dup d) the linear
+(tile, slot) position that holds it (or a sentinel). The gather backward is
+then a dense gather + per-Gaussian reduction (see tile_raster.gather_feats).
 
-Capacity overflow (per-Gaussian duplicate count > MAX_DUP or per-tile count
-> K) is reported via the returned `overflow` diagnostics so callers can
-re-render with a bigger bucket.
+Capacity overflow (per-Gaussian duplicate count > max_dup or per-tile count
+> K) is reported via the returned `overflow` diagnostics.
 """
 
 from __future__ import annotations
@@ -28,11 +32,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+DEPTH_BITS = 20  # key bits for depth (below the tile id)
+
 
 class TileBins(NamedTuple):
-    index_matrix: jnp.ndarray  # (T, K) int32, sentinel = N for empty
-    counts: jnp.ndarray        # (T,) int32 actual entries per tile (capped)
-    overflow: jnp.ndarray      # () int32: dropped entries (dup + tile caps)
+    index_matrix: jnp.ndarray   # (T, K) int32, sentinel = N for empty
+    counts: jnp.ndarray         # (T,) int32 actual entries per tile (capped)
+    slot_of_entry: jnp.ndarray  # (N*max_dup,) int32 linear t*K+k or T*K
+    overflow: jnp.ndarray       # () int32: dropped entries (dup + tile caps)
 
 
 @functools.partial(
@@ -54,6 +61,7 @@ def tile_bin(
     tiles_x = -(-img_w // tile_size)
     tiles_y = -(-img_h // tile_size)
     T = tiles_x * tiles_y
+    assert T < (1 << (31 - DEPTH_BITS)), "too many tiles for the packed key"
 
     mean2d = jax.lax.stop_gradient(mean2d)
     radius = jax.lax.stop_gradient(radius)
@@ -76,16 +84,27 @@ def tile_bin(
     dup_valid = d < n_cover[:, None]                           # (N,D)
     tile_id = jnp.where(dup_valid, ty * tiles_x + tx, T).astype(jnp.int32)
 
-    flat_tile = tile_id.reshape(-1)
-    flat_depth = jnp.broadcast_to(depth[:, None], tile_id.shape).reshape(-1)
+    # Packed sort key: [tile_id | depth bits]. Positive-float IEEE bits are
+    # monotonic; clamp to >=0 so the bitcast stays order-preserving.
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(depth, 0.0).astype(jnp.float32), jnp.int32
+    ) >> (31 - DEPTH_BITS)                                     # (N,) in [0, 2^20)
+    key = (tile_id << DEPTH_BITS) | jnp.broadcast_to(
+        depth_bits[:, None], tile_id.shape
+    )
+    key = jnp.where(dup_valid, key, T << DEPTH_BITS)
+
+    E = N * max_dup
+    flat_key = key.reshape(-1)
     flat_idx = jnp.broadcast_to(
         jnp.arange(N, dtype=jnp.int32)[:, None], tile_id.shape
     ).reshape(-1)
+    entry_id = jnp.arange(E, dtype=jnp.int32)
 
-    # Lexicographic (tile, depth) sort; invalid entries (tile_id=T) sink.
-    sort_tile, _, sort_idx = jax.lax.sort(
-        (flat_tile, flat_depth, flat_idx), num_keys=2
+    sort_key, sort_idx, sort_entry = jax.lax.sort(
+        (flat_key, flat_idx, entry_id), num_keys=1
     )
+    sort_tile = sort_key >> DEPTH_BITS
 
     # Per-tile segments.
     starts = jnp.searchsorted(sort_tile, jnp.arange(T + 1, dtype=jnp.int32))
@@ -95,11 +114,30 @@ def tile_bin(
     k = jnp.arange(tile_capacity, dtype=jnp.int32)[None, :]    # (1,K)
     gather_pos = starts[:-1, None] + k                         # (T,K)
     in_range = k < counts[:, None]
-    gather_pos = jnp.where(in_range, gather_pos, 0)
-    index_matrix = jnp.where(in_range, sort_idx[gather_pos], N).astype(jnp.int32)
+    gather_pos_safe = jnp.where(in_range, gather_pos, 0)
+    index_matrix = jnp.where(
+        in_range, sort_idx[gather_pos_safe], N
+    ).astype(jnp.int32)
+
+    # Inverse mapping entry -> (tile, slot): which (t, k) holds sorted
+    # position j, pushed back to original entry order. Both scatters have
+    # unique indices (each slot holds exactly one sorted position).
+    K = tile_capacity
+    t_ids = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None], (T, K)
+    )
+    linear_slot = t_ids * K + k                                # (T,K)
+    slot_of_sorted = jnp.full((E,), T * K, jnp.int32).at[
+        jnp.where(in_range, gather_pos, E)
+    ].set(jnp.where(in_range, linear_slot, T * K), mode="drop",
+          unique_indices=True)
+    slot_of_entry = jnp.full((E,), T * K, jnp.int32).at[sort_entry].set(
+        slot_of_sorted, unique_indices=True
+    )
 
     overflow = jnp.sum(jnp.maximum(n_cover - max_dup, 0)) + jnp.sum(
         jnp.maximum(seg_counts - tile_capacity, 0)
     )
     return TileBins(index_matrix=index_matrix, counts=counts,
+                    slot_of_entry=slot_of_entry,
                     overflow=overflow.astype(jnp.int32))

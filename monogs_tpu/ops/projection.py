@@ -9,8 +9,11 @@ site gaussian_splatting/gaussian_renderer/__init__.py:130-156):
   - EWA splatting: cov2D = J W Sigma W^T J^T + 0.3 I,
   - conic (inverse cov2D), screen radius, frustum culling mask.
 
-Everything is vectorized over N (static capacity); culled/padded Gaussians
-are handled by masks, never by dynamic shapes.
+All per-Gaussian algebra is written as explicit scalar-channel arithmetic on
+(N,) vectors (like the CUDA preprocess): a (N,3)-shaped op uses 3 of 128 TPU
+lanes, while (N,) channels vectorize fully on the VPU. Everything is
+vectorized over N (static capacity); culled/padded Gaussians are handled by
+masks, never by dynamic shapes.
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ NEAR_CULL = 0.2
 COV2D_DILATION = 0.3
 # Minimum opacity for a Gaussian to be rasterized at all (CUDA: 1/255).
 ALPHA_EPS = 1.0 / 255.0
+_EPS = 1e-8
 
 
 class ProjectedGaussians(NamedTuple):
@@ -44,6 +48,8 @@ def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
     """(N,3) scales (already exp-activated), (N,4) wxyz quats -> (N,3,3).
 
     Sigma = R S S^T R^T (reference general_utils.py:139-160 semantics).
+    Kept in matrix form for tests/PLY tooling; the hot path below uses the
+    expanded scalar form.
     """
     R = lie.quat_to_rotmat(quats)  # (N,3,3)
     M = R * scales[:, None, :]     # R @ diag(s)
@@ -71,43 +77,72 @@ def project_gaussians(
     reproduces the CUDA rasterizer's theta/rho gradients.
     """
     W, t = lie.apply_pose_delta(R_w2c, t_w2c, rho, theta)
+    # Unpack the 3x3 rotation into scalars (broadcast against (N,) channels).
+    w00, w01, w02 = W[0, 0], W[0, 1], W[0, 2]
+    w10, w11, w12 = W[1, 0], W[1, 1], W[1, 2]
+    w20, w21, w22 = W[2, 0], W[2, 1], W[2, 2]
 
-    p_cam = means3d @ W.T + t                     # (N,3)
-    x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
+    px, py, pz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    x = w00 * px + w01 * py + w02 * pz + t[0]
+    y = w10 * px + w11 * py + w12 * pz + t[1]
+    z = w20 * px + w21 * py + w22 * pz + t[2]
     z_safe = jnp.where(z > NEAR_CULL, z, 1.0)
+    inv_z = 1.0 / z_safe
 
-    u = intr.fx * x / z_safe + intr.cx
-    v = intr.fy * y / z_safe + intr.cy
-    mean2d = jnp.stack([u, v], axis=-1)
+    u = intr.fx * x * inv_z + intr.cx
+    v = intr.fy * y * inv_z + intr.cy
 
     # EWA: clamp the tangent-plane offsets like the CUDA preprocess
     # (limits = 1.3 * tan(fov/2)) to bound the Jacobian off-axis.
-    tan_fovx = intr.width / (2.0 * intr.fx)
-    tan_fovy = intr.height / (2.0 * intr.fy)
-    lim_x = 1.3 * tan_fovx
-    lim_y = 1.3 * tan_fovy
-    tx = jnp.clip(x / z_safe, -lim_x, lim_x) * z_safe
-    ty = jnp.clip(y / z_safe, -lim_y, lim_y) * z_safe
+    lim_x = 1.3 * (intr.width / (2.0 * intr.fx))
+    lim_y = 1.3 * (intr.height / (2.0 * intr.fy))
+    tx = jnp.clip(x * inv_z, -lim_x, lim_x)
+    ty = jnp.clip(y * inv_z, -lim_y, lim_y)
 
-    # J: Jacobian of pinhole projection at (tx, ty, z). Rows: du/dp, dv/dp.
-    zero = jnp.zeros_like(z)
-    J = jnp.stack(
-        [
-            jnp.stack([intr.fx / z_safe, zero, -intr.fx * tx / (z_safe * z_safe)], -1),
-            jnp.stack([zero, intr.fy / z_safe, -intr.fy * ty / (z_safe * z_safe)], -1),
-        ],
-        axis=-2,
-    )  # (N,2,3)
+    # Rows of JW where J = [[fx/z, 0, -fx tx/z], [0, fy/z, -fy ty/z]]
+    # (tx, ty are the clamped x/z, y/z): a_i = J[0,:] @ W, b_i = J[1,:] @ W.
+    fxz = intr.fx * inv_z
+    fyz = intr.fy * inv_z
+    a0 = fxz * (w00 - tx * w20)
+    a1 = fxz * (w01 - tx * w21)
+    a2 = fxz * (w02 - tx * w22)
+    b0 = fyz * (w10 - ty * w20)
+    b1 = fyz * (w11 - ty * w21)
+    b2 = fyz * (w12 - ty * w22)
 
-    cov3d = build_cov3d(scales, quats)            # (N,3,3)
-    JW = J @ W[None]                              # (N,2,3)
-    cov2d = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)  # (N,2,2)
-    cov2d = cov2d + COV2D_DILATION * jnp.eye(2, dtype=cov2d.dtype)[None]
+    # Rotation matrix from quaternion, expanded (general_utils.py:113-136).
+    qw, qx, qy, qz = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    qn = jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz) + _EPS
+    qw, qx, qy, qz = qw / qn, qx / qn, qy / qn, qz / qn
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
 
-    c00, c01, c11 = cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]
+    s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+    # M = JW @ R_q (2x3), then columns scaled: cov2d = (M*s^2) @ M^T.
+    m00 = a0 * r00 + a1 * r10 + a2 * r20
+    m01 = a0 * r01 + a1 * r11 + a2 * r21
+    m02 = a0 * r02 + a1 * r12 + a2 * r22
+    m10 = b0 * r00 + b1 * r10 + b2 * r20
+    m11 = b0 * r01 + b1 * r11 + b2 * r21
+    m12 = b0 * r02 + b1 * r12 + b2 * r22
+    s0_sq, s1_sq, s2_sq = s0 * s0, s1 * s1, s2 * s2
+    c00 = m00 * m00 * s0_sq + m01 * m01 * s1_sq + m02 * m02 * s2_sq
+    c01 = m00 * m10 * s0_sq + m01 * m11 * s1_sq + m02 * m12 * s2_sq
+    c11 = m10 * m10 * s0_sq + m11 * m11 * s1_sq + m12 * m12 * s2_sq
+    c00 = c00 + COV2D_DILATION
+    c11 = c11 + COV2D_DILATION
+
     det = c00 * c11 - c01 * c01
     det_safe = jnp.where(det > 0, det, 1.0)
-    conic = jnp.stack([c11 / det_safe, -c01 / det_safe, c00 / det_safe], axis=-1)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], axis=-1)
 
     # Screen radius: 3 * sqrt(max eigenvalue of cov2D) (CUDA convention).
     mid = 0.5 * (c00 + c11)
@@ -123,7 +158,7 @@ def project_gaussians(
         valid = valid & active
 
     return ProjectedGaussians(
-        mean2d=mean2d,
+        mean2d=jnp.stack([u, v], axis=-1),
         depth=z,
         conic=conic,
         radius=jnp.where(valid, radius, 0.0),

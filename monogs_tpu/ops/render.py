@@ -81,7 +81,8 @@ def render_projected(
 
     opacity = jnp.where(proj.valid, proj.opacity, 0.0)
     feats = pack_features(
-        mean2d, proj.conic, opacity, proj.rgb, proj.depth, bins.index_matrix
+        mean2d, proj.conic, opacity, proj.rgb, proj.depth, bins.index_matrix,
+        slot_of_entry=bins.slot_of_entry,
     )                                               # (T, 16, K)
 
     out, touched = composite_tiles(
@@ -138,6 +139,7 @@ def render_window(
     max_dup: int = 16,
     backend: str = "pallas",
     mean2d_dummy: jnp.ndarray | None = None,  # (W, N, 2) per-kf screen hook
+    bins=None,   # optional vmapped TileBins (leading window axis)
 ) -> WindowRenderOutput:
     """Batched multi-view render: the mapper's whole keyframe window in ONE
     rasterizer launch.
@@ -147,7 +149,8 @@ def render_window(
     concatenated along the kernel grid axis (the kernels wrap tile indices
     per image), so the window renders as one Pallas invocation and one
     backward — the unit that later shards across devices (window/CP
-    parallelism, SURVEY.md §2.3).
+    parallelism, SURVEY.md §2.3). Precomputed `bins` freeze the tile
+    assignment (bin-reuse across mapping iterations).
     """
     Wn = Rs.shape[0]
     N = means3d.shape[0]
@@ -155,26 +158,35 @@ def render_window(
     if mean2d_dummy is None:
         mean2d_dummy = jnp.zeros((Wn, N, 2), means3d.dtype)
 
-    def per_kf(R, t, rho, theta, dummy):
+    def per_kf(R, t, rho, theta, dummy, bins_kf):
         proj = project_gaussians(
             means3d, scales, quats, opacities, rgbs, R, t, rho, theta, intr,
             active=active,
         )
         mean2d = proj.mean2d + dummy
-        bins = tile_bin(
-            mean2d, proj.radius, proj.depth, proj.valid,
-            img_w=cfg.img_w, img_h=cfg.img_h, tile_size=cfg.tile_size,
-            tile_capacity=tile_capacity, max_dup=max_dup,
-        )
+        if bins_kf is None:
+            bins_kf = tile_bin(
+                mean2d, proj.radius, proj.depth, proj.valid,
+                img_w=cfg.img_w, img_h=cfg.img_h, tile_size=cfg.tile_size,
+                tile_capacity=tile_capacity, max_dup=max_dup,
+            )
         opa = jnp.where(proj.valid, proj.opacity, 0.0)
         feats = pack_features(
-            mean2d, proj.conic, opa, proj.rgb, proj.depth, bins.index_matrix
+            mean2d, proj.conic, opa, proj.rgb, proj.depth,
+            bins_kf.index_matrix, slot_of_entry=bins_kf.slot_of_entry,
         )                                           # (T, 16, K)
-        return feats, bins.index_matrix, bins.counts, proj.radius, bins.overflow
+        return (feats, bins_kf.index_matrix, bins_kf.counts, proj.radius,
+                bins_kf.overflow)
 
-    feats, idx_mats, counts, radii, overflows = jax.vmap(per_kf)(
-        Rs, ts, rhos, thetas, mean2d_dummy
-    )                                               # (W,T,16,K), (W,T,K), ...
+    if bins is None:
+        feats, idx_mats, counts, radii, overflows = jax.vmap(
+            lambda R, t, rho, theta, dummy: per_kf(R, t, rho, theta, dummy,
+                                                   None)
+        )(Rs, ts, rhos, thetas, mean2d_dummy)
+    else:
+        feats, idx_mats, counts, radii, overflows = jax.vmap(per_kf)(
+            Rs, ts, rhos, thetas, mean2d_dummy, bins
+        )                                           # (W,T,16,K), (W,T,K), ...
 
     T, K = feats.shape[1], feats.shape[3]
     feats_all = feats.reshape(Wn * T, feats.shape[2], K)

@@ -467,6 +467,49 @@ def composite_tiles(
     return composite_tiles_pallas(feats, counts, cfg)
 
 
+@jax.custom_vjp
+def gather_feats(feats_full: jnp.ndarray, index_matrix: jnp.ndarray,
+                 slot_of_entry: jnp.ndarray) -> jnp.ndarray:
+    """(16, N+1) features + (T, K) indices -> (T, 16, K) tile layout.
+
+    Custom backward: instead of XLA's scatter-add transpose (which
+    serializes badly on TPU — measured ~20ms at N=100k), use the binning's
+    precomputed entry->(tile,slot) inverse permutation: a dense gather of
+    per-slot gradients followed by a per-Gaussian reduction over the
+    duplicate axis. Same sums, gather-only memory traffic.
+    """
+    feats = jnp.take(feats_full, index_matrix, axis=1)   # (16, T, K)
+    return jnp.moveaxis(feats, 0, 1)                     # (T, 16, K)
+
+
+def _gather_feats_fwd(feats_full, index_matrix, slot_of_entry):
+    out = gather_feats(feats_full, index_matrix, slot_of_entry)
+    return out, (feats_full.shape, index_matrix.shape, slot_of_entry)
+
+
+def _gather_feats_bwd(res, dfeats):
+    (C, Np1), (T, K), slot_of_entry = res
+    N = Np1 - 1
+    E = slot_of_entry.shape[0]
+    D = E // N
+    slot = slot_of_entry
+    ok = slot < T * K
+    t_e = jnp.minimum(slot // K, T - 1)
+    k_e = slot % K
+    g_entry = dfeats[t_e, :, k_e]                        # (E, 16) gather
+    g_entry = jnp.where(ok[:, None], g_entry, 0.0)
+    g = jnp.sum(g_entry.reshape(N, D, C), axis=1)        # (N, 16)
+    d_full = jnp.concatenate(
+        [g.T, jnp.zeros((C, 1), g.dtype)], axis=1
+    )                                                    # (16, N+1)
+    zi = jnp.zeros((T, K), jax.dtypes.float0)
+    ze = jnp.zeros((E,), jax.dtypes.float0)
+    return d_full, zi, ze
+
+
+gather_feats.defvjp(_gather_feats_fwd, _gather_feats_bwd)
+
+
 def pack_features(
     mean2d: jnp.ndarray,   # (N, 2)
     conic: jnp.ndarray,    # (N, 3)
@@ -474,9 +517,11 @@ def pack_features(
     rgb: jnp.ndarray,      # (N, 3)
     depth: jnp.ndarray,    # (N,)
     index_matrix: jnp.ndarray,  # (T, K) with sentinel N
+    slot_of_entry: jnp.ndarray | None = None,  # (N*D,) from TileBins
 ) -> jnp.ndarray:
     """Gather per-Gaussian features into the (T, 16, K) kernel layout.
-    Differentiable: the gather's transpose is XLA's scatter-add."""
+    With slot_of_entry, the gather uses the fast inverse-permutation
+    backward; without it, plain autodiff (scatter-add) applies."""
     N = mean2d.shape[0]
     feats_full = jnp.stack(
         [
@@ -496,5 +541,7 @@ def pack_features(
     feats_full = jnp.concatenate(
         [feats_full, jnp.zeros((FEAT_ROWS, 1), feats_full.dtype)], axis=1
     )                                               # sentinel column N
+    if slot_of_entry is not None:
+        return gather_feats(feats_full, index_matrix, slot_of_entry)
     feats = jnp.take(feats_full, index_matrix, axis=1)   # (16, T, K)
     return jnp.moveaxis(feats, 0, 1)                # (T, 16, K)

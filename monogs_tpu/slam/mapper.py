@@ -85,6 +85,16 @@ class MapperConfig:
     max_dup: int = 16
     backend: str = "pallas"
     isotropic: bool = False
+    # Monocular (no sensor depth): upstream-MonoGS seeding semantics.
+    monocular: bool = False
+    # Re-run tile binning every k mapping iterations (Gaussian/pose motion
+    # per iteration is sub-pixel); topology events always force a refresh.
+    rebin_every: int = 8
+    # Keyframe seeding (gaussian_model.py:169-175, configs pcd_downsample*)
+    pcd_downsample_init: int = 32
+    pcd_downsample: int = 64
+    point_size: float = 0.01
+    max_new_per_kf: int = 16384
 
     def map_lrs(self, step):
         """Per-leaf learning rates; xyz follows the exponential schedule
@@ -157,9 +167,36 @@ class MappingAux(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def window_bins(state: MapperState, intr: Intrinsics, cfg: MapperConfig):
+    """Tile binning for every window keyframe at the current state (reused
+    across mapping iterations; refreshed on cadence / topology events)."""
+    from ..ops.binning import tile_bin
+    from ..ops.projection import project_gaussians
+
+    gmap, f = state.gmap, state.window.frames
+    scales = gm.get_scales(gmap.params, cfg.isotropic)
+    opac = gm.get_opacity(gmap.params)
+
+    def per_kf(R, t):
+        proj = project_gaussians(
+            gmap.params["xyz"], scales, gmap.params["quats"], opac,
+            gmap.params["rgb"], R, t, jnp.zeros(3), jnp.zeros(3), intr,
+            active=gmap.active,
+        )
+        return tile_bin(
+            proj.mean2d, proj.radius, proj.depth, proj.valid,
+            img_w=intr.width, img_h=intr.height,
+            tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+        )
+
+    return jax.vmap(per_kf)(f.R, f.t)
+
+
 @functools.partial(jax.jit, static_argnames=("intr", "cfg", "init"))
 def mapping_step(
     state: MapperState, intr: Intrinsics, cfg: MapperConfig, init: bool = False,
+    bins=None,
 ):
     """One mapping iteration over the whole window (slam_mapper.py:258-496;
     init=True reproduces initialize_map's single-frame loss without exposure,
@@ -179,7 +216,7 @@ def mapping_step(
             gm.get_opacity(params), params["rgb"],
             f.R, f.t, intr, rhos=rhos, thetas=thetas, active=gmap.active,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
-            backend=cfg.backend, mean2d_dummy=dummy,
+            backend=cfg.backend, mean2d_dummy=dummy, bins=bins,
         )
         losses = jax.vmap(
             functools.partial(get_loss_mapping, init=init)
@@ -380,7 +417,10 @@ def extend_event(
         R_w2c=frame.R, t_w2c=frame.t, intr=intr, kf_idx=kf_idx,
         exposure_a=frame.exposure_a, exposure_b=frame.exposure_b,
         render_depth=render_depth, render_opacity=render_opacity,
-        init=init, isotropic=cfg.isotropic,
+        init=init, isotropic=cfg.isotropic, monocular=cfg.monocular,
+        downsample_init=cfg.pcd_downsample_init,
+        downsample=cfg.pcd_downsample, point_size=cfg.point_size,
+        max_new=cfg.max_new_per_kf,
     )
     return (
         state._replace(gmap=res.map, adam=res.adam, rng=rng),
@@ -438,13 +478,18 @@ def run_initialize_map(state: MapperState, intr: Intrinsics, cfg: MapperConfig,
     the init keyframe with densify every init_gaussian_update and an opacity
     reset at init_gaussian_reset. Returns (state, visibility (Wc,C))."""
     aux = None
-    for _ in range(cfg.init_itr_num):
-        state, aux = mapping_step(state, intr, cfg, init=True)
+    bins = None
+    for j in range(cfg.init_itr_num):
+        if bins is None or j % cfg.rebin_every == 0:
+            bins = window_bins(state, intr, cfg)
+        state, aux = mapping_step(state, intr, cfg, init=True, bins=bins)
         it = int(state.nr_iters)
         if (it - 1) % cfg.init_gaussian_update == 0:
             state, _ = densify_event(state, cfg, init_phase=True)
+            bins = None  # topology changed
         if it == cfg.init_gaussian_reset:
             state = reset_opacity_event(state)
+            bins = None
     return state, aux.visibility
 
 
@@ -454,8 +499,11 @@ def run_optimize_map(
     """The iters_per_kf mapping loop with its cadences
     (slam_mapper.py:244-496). Returns (state, last visibility)."""
     visibility = None
-    for _ in range(iters):
-        state, aux = mapping_step(state, intr, cfg, init=False)
+    bins = None
+    for j in range(iters):
+        if bins is None or j % cfg.rebin_every == 0:
+            bins = window_bins(state, intr, cfg)
+        state, aux = mapping_step(state, intr, cfg, init=False, bins=bins)
         visibility = aux.visibility
         it = int(state.nr_iters)
         update_gaussian = (
@@ -463,7 +511,9 @@ def run_optimize_map(
         )
         if update_gaussian:
             state, _ = densify_event(state, cfg, init_phase=False)
+            bins = None  # topology changed
         elif it % cfg.gaussian_reset == 0:
             any_visible = jnp.any(visibility, axis=0)
             state = reset_nonvisible_event(state, any_visible)
+            bins = None
     return state, visibility

@@ -188,12 +188,12 @@ class SLAM:
 
     def handle_keyframe(self, idx: int, frame: Frame):
         """Mapper keyframe message (slam_mapper.py:639-722)."""
+        self._maybe_grow()  # before seeding, so no candidates are dropped
         self.state, (n_added, n_dropped) = extend_event(
             self.state, frame, idx, self.intr, self.mcfg, init=False
         )
         if int(n_dropped):
             Log(f"Capacity drop: {int(n_dropped)} seeds", tag="Mapper")
-        self._maybe_grow()
 
         # Stack the window (newest first, matching kf_list order).
         frames = [self.frames[i] if i != idx else frame for i in self.kf_list]

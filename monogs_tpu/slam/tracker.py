@@ -39,6 +39,10 @@ class TrackerConfig:
     max_iters: int = 100          # tracking_itr_num
     convergence_threshold: float = 1e-4
     opacity_threshold: float = 0.99  # loss gate (slam_utils.py:71)
+    # Re-run tile binning every k iterations (pose deltas are sub-pixel per
+    # step, so the frozen assignment is valid between refreshes; the CUDA
+    # reference re-sorts every forward because its sort is nearly free).
+    rebin_every: int = 8
     lr_rot: float = 0.003         # Training.lr.cam_rot_delta
     lr_trans: float = 0.001       # Training.lr.cam_trans_delta
     lr_exposure: float = 0.01     # slam_tracker.py:121-131
@@ -107,13 +111,32 @@ def track_frame(
     scales = get_scales(params, cfg.isotropic)
     opac = get_opacity(params)
 
-    def loss_fn(rho, theta, ea, eb, R, t):
-        out = render(
+    from ..ops.binning import tile_bin
+    from ..ops.projection import project_gaussians
+    from ..ops.render import make_raster_config, render_projected
+
+    rcfg = make_raster_config(intr.width, intr.height)
+
+    def compute_bins(R, t):
+        proj = project_gaussians(
             params["xyz"], scales, params["quats"], opac, params["rgb"],
-            R, t, intr, rho=rho, theta=theta, active=active,
-            bg=None if bg_is_zero else bg,
+            R, t, jnp.zeros(3), jnp.zeros(3), intr, active=active,
+        )
+        return tile_bin(
+            proj.mean2d, proj.radius, proj.depth, proj.valid,
+            img_w=intr.width, img_h=intr.height,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
-            backend=cfg.backend,
+        )
+
+    def loss_fn(rho, theta, ea, eb, R, t, bins):
+        proj = project_gaussians(
+            params["xyz"], scales, params["quats"], opac, params["rgb"],
+            R, t, rho, theta, intr, active=active,
+        )
+        out = render_projected(
+            proj, rcfg, bg=None if bg_is_zero else bg,
+            tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+            backend=cfg.backend, bins=bins,
         )
         loss = get_loss_tracking(
             out.rgb, out.depth, out.opacity,
@@ -129,9 +152,13 @@ def track_frame(
         return (i < cfg.max_iters) & ~converged
 
     def body(carry):
-        i, _, R, t, ea, eb, adam = carry
+        i, _, R, t, ea, eb, adam, bins = carry
+        bins = jax.lax.cond(
+            (i % cfg.rebin_every == 0) & (i > 0),
+            lambda: compute_bins(R, t), lambda: bins,
+        )
         z3 = jnp.zeros(3)
-        g_rho, g_theta, g_ea, g_eb = grad_fn(z3, z3, ea, eb, R, t)
+        g_rho, g_theta, g_ea, g_eb = grad_fn(z3, z3, ea, eb, R, t, bins)
         upd, adam = _adam4_update(
             (g_rho, g_theta, g_ea, g_eb), adam,
             (cfg.lr_trans, cfg.lr_rot, cfg.lr_exposure, cfg.lr_exposure),
@@ -143,13 +170,16 @@ def track_frame(
         eb = eb + d_eb
         tau = jnp.concatenate([d_rho, d_theta])
         converged = jnp.linalg.norm(tau) < cfg.convergence_threshold
-        return (i + 1, converged, R, t, ea, eb, adam)
+        return (i + 1, converged, R, t, ea, eb, adam, bins)
 
     init = (
         jnp.zeros((), jnp.int32), jnp.zeros((), bool),
         frame.R, frame.t, frame.exposure_a, frame.exposure_b, _adam4_init(),
+        compute_bins(frame.R, frame.t),
     )
-    n_iters, converged, R, t, ea, eb, _ = jax.lax.while_loop(cond, body, init)
+    n_iters, converged, R, t, ea, eb, _, _ = jax.lax.while_loop(
+        cond, body, init
+    )
 
     # Final no-grad render for median depth + visibility
     # (slam_tracker.py:192,414).

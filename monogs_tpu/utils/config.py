@@ -103,6 +103,11 @@ def build_mapper_config(cfg: dict, backend: str = "pallas"):
         max_dup=g("Raster", "max_dup", d=16),
         backend=backend,
         isotropic=g("Gaussians", "isotropic", d=False),
+        monocular=g("Dataset", "sensor_type", d="depth") == "monocular"
+        and not g("Dataset", "Calibration", "use_depth", d=False),
+        pcd_downsample_init=g("Dataset", "pcd_downsample_init", d=32),
+        pcd_downsample=g("Dataset", "pcd_downsample", d=64),
+        point_size=g("Dataset", "point_size", d=0.01),
     )
 
 

@@ -33,6 +33,38 @@ except Exception:  # pragma: no cover
 _T0 = time.time()
 
 
+class WandbLogger:
+    """Gated wandb metric logging (reference slam.py:612-619: project init,
+    frame_idx step metric, ate* metrics). No-op when wandb is unavailable or
+    disabled — the zero-egress TPU rig has neither the package nor network."""
+
+    def __init__(self, enabled: bool = False, project: str = "monogs_tpu",
+                 name: str | None = None, config: dict | None = None):
+        self._run = None
+        if not enabled:
+            return
+        try:
+            import wandb
+
+            self._run = wandb.init(project=project, name=name, config=config)
+            wandb.define_metric("frame_idx")
+            wandb.define_metric("ate*", step_metric="frame_idx")
+        except Exception as e:  # pragma: no cover
+            Log(f"wandb disabled: {e}", tag="System")
+
+    def log(self, metrics: dict):
+        if self._run is not None:  # pragma: no cover
+            import wandb
+
+            wandb.log(metrics)
+
+    def finish(self):
+        if self._run is not None:  # pragma: no cover
+            import wandb
+
+            wandb.finish()
+
+
 def Log(*args, tag: str = "MonoGS"):
     if tag in _QUIET_TAGS:
         return

@@ -107,3 +107,43 @@ def test_refinement_improves_or_holds_psnr(slam_run):
     slam.refine(iters=20)
     after = slam.eval_rendering(every=4)["mean_psnr"]
     assert after > before - 1.0  # must not blow up the map
+
+
+def test_monocular_slam_runs():
+    """Scale-ambiguous monocular mode (synthesized seed depth, upstream
+    MonoGS semantics): must not diverge and must build a usable map."""
+    import copy
+
+    cfg = copy.deepcopy(CFG)
+    cfg["Dataset"]["synthetic"].update({"n_frames": 5, "use_depth": False})
+    ds = SyntheticDataset(cfg)
+    slam = SLAM(
+        ds,
+        tracker_config=TrackerConfig(max_iters=25, tile_capacity=128,
+                                     max_dup=32, backend="ref",
+                                     opacity_threshold=0.5),
+        mapper_config=MapperConfig(
+            init_itr_num=120, init_gaussian_update=50, init_gaussian_reset=200,
+            iters_per_kf=20, gaussian_update_every=500,
+            gaussian_update_offset=10, window_size=3, tile_capacity=128,
+            max_dup=32, backend="ref", monocular=True, isotropic=True,
+            # window_size=3 makes `nr_obs <= 3` tautological (max nr_obs ==
+            # window size), so the reference's prune_coviz=3 would wipe the
+            # map — a small-window artifact, not reference behavior (window 8).
+            prune_coviz=1,
+        ),
+        keyframe_config=KeyframeConfig(window_size=3),
+        system_config=SystemConfig(map_capacity=8192, capacity_headroom=512),
+    )
+    rmse = slam.run()
+    assert np.isfinite(rmse)
+    motions = sum(
+        np.linalg.norm(
+            np.asarray(slam.gt_poses[i][1]) - np.asarray(slam.gt_poses[i - 1][1])
+        )
+        for i in range(1, len(slam.gt_poses))
+    )
+    assert rmse < 2.0 * motions  # not diverged (mono scale is ambiguous)
+    assert int(slam.state.gmap.num_active) > 100
+    res = slam.eval_rendering(every=2)
+    assert res["mean_psnr"] > 10.0, res
