@@ -1,14 +1,16 @@
-"""Benchmark: differentiable rasterizer fwd+bwd latency on real hardware.
+"""Benchmark: SLAM tracking-iteration latency on real hardware.
 
-Prints ONE JSON line. Primary metric: full tracking-gradient step latency
-(render forward + backward incl. pose gradients) at 640x480 on a
-100k-Gaussian map — the innermost unit of both SLAM hot loops
-(SURVEY.md §3 "hot loops, ranked").
+Prints ONE JSON line. Primary metric: milliseconds per tracking iteration —
+one rasterize forward + backward (incl. SE(3) pose gradients) + Adam step +
+retraction inside the jitted tracking loop — at 640x480 against a
+100k-Gaussian map. This is the innermost unit of the SLAM frontend
+(SURVEY.md §3 hot loop #1) and uses the production configuration
+(Pallas kernels, bin reuse every 8 iterations).
 
 Baseline derivation (BASELINE.md): the reference runs "up to 10 fps"
 monocular tracking on an RTX 4090 (README.md:45) where each tracked frame
 performs up to ~100 rasterize fwd+bwd iterations plus mapping work —
-i.e. ~1.0 ms per fwd+bwd iteration. vs_baseline reports
+i.e. ~1.0 ms per tracking iteration. vs_baseline reports
 baseline_ms / our_ms (>1 = faster than the reference per iteration).
 """
 
@@ -16,6 +18,7 @@ import json
 import time
 
 BASELINE_MS = 1.0
+N_ITERS = 100
 
 
 def main():
@@ -23,57 +26,58 @@ def main():
     import jax.numpy as jnp
 
     from monogs_tpu.ops.graphics import Intrinsics
-    from monogs_tpu.ops.losses import get_loss_tracking
-    from monogs_tpu.ops.render import render
+    from monogs_tpu.slam.camera import make_frame
+    from monogs_tpu.slam.tracker import TrackerConfig, track_frame
 
     W, H, N = 640, 480, 100_000
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
-    means = jnp.concatenate(
-        [
-            jax.random.uniform(ks[0], (N, 2), minval=-2.0, maxval=2.0),
-            jax.random.uniform(ks[1], (N, 1), minval=0.8, maxval=5.0),
-        ],
-        axis=1,
-    )
-    scales = jnp.exp(jax.random.uniform(ks[2], (N, 3), minval=-5.5, maxval=-4.0))
-    quats = jax.random.normal(ks[3], (N, 4)) + jnp.array([2.0, 0, 0, 0])
-    opac = jax.nn.sigmoid(jax.random.normal(ks[4], (N,)))
-    rgb = jax.random.uniform(ks[5], (N, 3))
+    params = {
+        "xyz": jnp.concatenate(
+            [
+                jax.random.uniform(ks[0], (N, 2), minval=-2.0, maxval=2.0),
+                jax.random.uniform(ks[1], (N, 1), minval=0.8, maxval=5.0),
+            ],
+            axis=1,
+        ),
+        "log_scales": jax.random.uniform(ks[2], (N, 3), minval=-5.5, maxval=-4.0),
+        "quats": jax.random.normal(ks[3], (N, 4)) + jnp.array([2.0, 0, 0, 0]),
+        "opacity_logit": jax.random.normal(ks[4], (N,)),
+        "rgb": jax.random.uniform(ks[5], (N, 3)),
+    }
+    active = jnp.ones((N,), bool)
     intr = Intrinsics(fx=520.9, fy=521.0, cx=W / 2, cy=H / 2, width=W, height=H)
-    R, t = jnp.eye(3), jnp.zeros(3)
 
-    gt_rgb = jax.random.uniform(ks[6], (H, W, 3))
-    gt_depth = jax.random.uniform(ks[7], (H, W), minval=0.5, maxval=4.0)
-    ones = jnp.ones((H, W), bool)
+    frame = make_frame(
+        1,
+        jax.random.uniform(ks[6], (H, W, 3)),
+        jax.random.uniform(ks[7], (H, W), minval=0.5, maxval=4.0),
+        jnp.eye(4),
+    )
 
-    def loss_fn(means, scales, quats, opac, rgb, rho, theta, ea, eb):
-        out = render(
-            means, scales, quats, opac, rgb, R, t, intr, rho=rho, theta=theta,
-            tile_capacity=1024, max_dup=16,
-        )
-        return get_loss_tracking(
-            out.rgb, out.depth, out.opacity, gt_rgb, gt_depth, ones, ones,
-            ea, eb, opacity_threshold=0.5,
-        )
+    # Force exactly N_ITERS iterations (no convergence exit) so the measure
+    # is per-iteration latency of the full optimization loop.
+    cfg = TrackerConfig(
+        max_iters=N_ITERS, convergence_threshold=0.0, opacity_threshold=0.5,
+        tile_capacity=1024, max_dup=16,
+    )
 
-    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8)))
-    args = (means, scales, quats, opac, rgb, jnp.zeros(3), jnp.zeros(3),
-            jnp.zeros(()), jnp.zeros(()))
-
-    g = step(*args)
-    jax.block_until_ready(g)
-    iters = 20
+    # NOTE: a concrete scalar readback (not just block_until_ready) is used
+    # as the completion fence — on the experimental axon TPU backend,
+    # block_until_ready returns before remote execution finishes.
+    res = track_frame(params, active, frame, intr, cfg)
+    assert int(res.n_iters) == N_ITERS
+    reps = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        g = step(*args)
-    jax.block_until_ready(g)
-    ms = (time.perf_counter() - t0) / iters * 1000.0
+    for _ in range(reps):
+        res = track_frame(params, active, frame, intr, cfg)
+        _ = float(res.t[0])  # completion fence
+    ms = (time.perf_counter() - t0) / (reps * N_ITERS) * 1000.0
 
     print(
         json.dumps(
             {
-                "metric": "rasterize_fwd_bwd_ms_640x480_100k",
+                "metric": "tracking_iter_ms_640x480_100k",
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / ms, 4),

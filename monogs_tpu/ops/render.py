@@ -10,8 +10,10 @@ replacing the reference's retain_grad dummy tensor
 Pipeline (single jittable graph):
   project_gaussians (autodiff, incl. pose delta)  ->  tile_bin (int indices)
   ->  feature gather  ->  composite_tiles (Pallas custom-VJP)  ->  assemble.
-Gradients w.r.t. Gaussian params flow through the gather's scatter-add
-transpose; gradients w.r.t. (rho, theta) flow through projection.
+Gradients w.r.t. Gaussian params flow through the gather's custom backward
+(inverse-permutation row gather + duplicate-axis reduction,
+tile_raster.gather_feats); gradients w.r.t. (rho, theta) flow through
+projection.
 """
 
 from __future__ import annotations
@@ -83,7 +85,7 @@ def render_projected(
     feats = pack_features(
         mean2d, proj.conic, opacity, proj.rgb, proj.depth, bins.index_matrix,
         slot_of_entry=bins.slot_of_entry,
-    )                                               # (T, 16, K)
+    )                                               # (T, K, 16)
 
     out, touched = composite_tiles(
         feats, cfg, counts=bins.counts, backend=backend
@@ -174,7 +176,7 @@ def render_window(
         feats = pack_features(
             mean2d, proj.conic, opa, proj.rgb, proj.depth,
             bins_kf.index_matrix, slot_of_entry=bins_kf.slot_of_entry,
-        )                                           # (T, 16, K)
+        )                                           # (T, K, 16)
         return (feats, bins_kf.index_matrix, bins_kf.counts, proj.radius,
                 bins_kf.overflow)
 
@@ -188,8 +190,8 @@ def render_window(
             Rs, ts, rhos, thetas, mean2d_dummy, bins
         )                                           # (W,T,16,K), (W,T,K), ...
 
-    T, K = feats.shape[1], feats.shape[3]
-    feats_all = feats.reshape(Wn * T, feats.shape[2], K)
+    T, K = feats.shape[1], feats.shape[2]
+    feats_all = feats.reshape(Wn * T, K, feats.shape[3])
     out, touched = composite_tiles(
         feats_all, cfg, counts=counts.reshape(Wn * T), backend=backend
     )

@@ -8,8 +8,10 @@ gathered 2D Gaussian features; gradients w.r.t. 3D parameters AND camera pose
 flow by JAX autodiff through the projection stage + gather that produce
 `feats` (see ops/projection.py, ops/render.py).
 
-Feature rows (axis 1 of `feats`, shape (T, 16, K) — 16 sublane rows to meet
-the TPU (8, 128) block-divisibility rule, rows 10-15 spare):
+Feature layout: `feats` is (T, K, 16) — row-major per slot so the feature
+gather (and its transpose) moves contiguous 64-byte rows; kernels transpose
+each (CHUNK, 16) slab to (16, CHUNK) in VMEM. Feature channels (last axis;
+10 used, 6 spare to meet the TPU divisibility rule):
     0: u (pixel x of 2D mean)   5: opacity (activated, 0 for padding)
     1: v                        6,7,8: r, g, b
     2: conic_a                  9: depth
@@ -111,13 +113,14 @@ def _tile_origins(cfg: RasterConfig, total_tiles: int, dtype=jnp.float32):
 def composite_tiles_ref(feats: jnp.ndarray, cfg: RasterConfig):
     """Vectorized pure-JAX compositing. Differentiable by autodiff.
 
-    feats: (T, 16, K) -> (out (T, P, 8), touched (T, K) int32)
+    feats: (T, K, 16) -> (out (T, P, 8), touched (T, K) int32)
     """
-    T, K = feats.shape[0], feats.shape[2]
+    T, K = feats.shape[0], feats.shape[1]
     px, py = _tile_pixel_coords(cfg)         # (P,)
     ox, oy = _tile_origins(cfg, T)           # (T,)
 
-    def one_tile(f, o_x, o_y):
+    def one_tile(fkc, o_x, o_y):
+        f = fkc.T                             # (16, K)
         u = f[0] - o_x                        # (K,) tile-local
         v = f[1] - o_y
         a, b, c = f[2], f[3], f[4]
@@ -183,16 +186,21 @@ def _tile_origin(cfg: RasterConfig):
     return ox, oy
 
 
-def _chunk_alpha(feats_ref, ck, ox, oy, x, y):
-    """Shared per-chunk alpha computation. Returns tile-local (u, v), conic
-    rows, opacity row, exp(power), alpha ((P, CHUNK) / (1, CHUNK))."""
+def _chunk_feats(feats_ref, ck):
+    """Load one (CHUNK, 16) slab and transpose to channel-major (16, CHUNK)."""
     sl = pl.ds(ck * CHUNK, CHUNK)
-    u = feats_ref[0, 0:1, sl] - ox           # (1, CHUNK) tile-local
-    v = feats_ref[0, 1:2, sl] - oy
-    a = feats_ref[0, 2:3, sl]
-    b = feats_ref[0, 3:4, sl]
-    c = feats_ref[0, 4:5, sl]
-    opa = feats_ref[0, 5:6, sl]
+    return feats_ref[0, sl, :].T             # (16, CHUNK)
+
+
+def _chunk_alpha(tf, ox, oy, x, y):
+    """Shared per-chunk alpha computation on a (16, CHUNK) slab. Returns
+    tile-local (u, v), conic rows, opacity row, exp(power), alpha."""
+    u = tf[0:1, :] - ox                      # (1, CHUNK) tile-local
+    v = tf[1:2, :] - oy
+    a = tf[2:3, :]
+    b = tf[3:4, :]
+    c = tf[4:5, :]
+    opa = tf[5:6, :]
     dx = x - u                               # (P, CHUNK)
     dy = y - v
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
@@ -222,9 +230,8 @@ def _fwd_kernel(counts_ref, feats_ref, out_ref, touched_ref, *,
 
         def live(carry):
             logT, acc = carry
-            _, _, _, _, _, _, _, _, ok, alpha = _chunk_alpha(
-                feats_ref, ck, ox, oy, x, y
-            )
+            tf = _chunk_feats(feats_ref, ck)
+            _, _, _, _, _, _, _, _, ok, alpha = _chunk_alpha(tf, ox, oy, x, y)
             log1m = jnp.log1p(-alpha)
             excl = jax.lax.dot_general(
                 log1m, strict, (((1,), (0,)), ((), ())),
@@ -235,7 +242,7 @@ def _fwd_kernel(counts_ref, feats_ref, out_ref, touched_ref, *,
             sl = pl.ds(ck * CHUNK, CHUNK)
             colors_t = jnp.concatenate(
                 [
-                    feats_ref[0, 6:10, sl],               # r, g, b, depth
+                    tf[6:10, :],                          # r, g, b, depth
                     jnp.ones((1, CHUNK), jnp.float32),    # alpha accumulator
                     jnp.zeros((3, CHUNK), jnp.float32),
                 ],
@@ -275,7 +282,7 @@ def _bwd_kernel(counts_ref, feats_ref, baux_ref, dfeats_ref, *,
     gvec = baux_ref[0, :, 0:5]                # (P, 5)
     A = baux_ref[0, :, 5:6]                   # (P, 1)
 
-    dfeats_ref[0] = jnp.zeros((FEAT_ROWS, K), jnp.float32)
+    dfeats_ref[0] = jnp.zeros((K, FEAT_ROWS), jnp.float32)
     count = counts_ref[pl.program_id(0)]
     n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, K // CHUNK)
 
@@ -285,8 +292,9 @@ def _bwd_kernel(counts_ref, feats_ref, baux_ref, dfeats_ref, *,
 
         def live(carry):
             logT, wg_pref = carry
+            tf = _chunk_feats(feats_ref, ck)
             u, v, a, b, c, opa, expp, alpha_raw, ok, alpha = _chunk_alpha(
-                feats_ref, ck, ox, oy, x, y
+                tf, ox, oy, x, y
             )
             log1m = jnp.log1p(-alpha)
             excl = jax.lax.dot_general(
@@ -298,7 +306,7 @@ def _bwd_kernel(counts_ref, feats_ref, baux_ref, dfeats_ref, *,
 
             # Per-(pixel, slot) cotangent of w: g = c.g_rgb + d*g_d + g_a.
             props = jnp.concatenate(
-                [feats_ref[0, 6:10, sl], jnp.ones((1, CHUNK), jnp.float32)],
+                [tf[6:10, :], jnp.ones((1, CHUNK), jnp.float32)],
                 axis=0,
             )                                 # (5, CHUNK)
             g = jax.lax.dot_general(
@@ -337,11 +345,12 @@ def _bwd_kernel(counts_ref, feats_ref, baux_ref, dfeats_ref, *,
             db = -(Rxy - u * Ry - v * Rx + u * v * R0)
             dc = -0.5 * (Ryy - 2.0 * v * Ry + v * v * R0)
 
-            dfeats_ref[0, :, sl] = jnp.concatenate(
+            d16 = jnp.concatenate(
                 [du, dv, da, db, dc, d_opa, dprops[0:4],
                  jnp.zeros((6, CHUNK), jnp.float32)],
                 axis=0,
             )                                 # (16, CHUNK)
+            dfeats_ref[0, sl, :] = d16.T      # back to row-major (CHUNK, 16)
 
             logT = logT + jnp.sum(log1m, axis=1, keepdims=True)
             wg_pref = wg_pref + jnp.sum(wg, axis=1, keepdims=True)
@@ -358,14 +367,14 @@ def _bwd_kernel(counts_ref, feats_ref, baux_ref, dfeats_ref, *,
 
 
 def _fwd_pallas(feats: jnp.ndarray, counts: jnp.ndarray, cfg: RasterConfig):
-    T, K = feats.shape[0], feats.shape[2]
+    T, K = feats.shape[0], feats.shape[1]
     P = cfg.pixels
     kern = functools.partial(_fwd_kernel, cfg=cfg, K=K)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, FEAT_ROWS, K), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, K, FEAT_ROWS), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -389,25 +398,25 @@ def _fwd_pallas(feats: jnp.ndarray, counts: jnp.ndarray, cfg: RasterConfig):
 
 def _bwd_pallas(feats: jnp.ndarray, counts: jnp.ndarray, baux: jnp.ndarray,
                 cfg: RasterConfig):
-    T, K = feats.shape[0], feats.shape[2]
+    T, K = feats.shape[0], feats.shape[1]
     P = cfg.pixels
     kern = functools.partial(_bwd_kernel, cfg=cfg, K=K)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, FEAT_ROWS, K), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, K, FEAT_ROWS), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, FEAT_ROWS, K), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, K, FEAT_ROWS), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     dfeats = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, FEAT_ROWS, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, K, FEAT_ROWS), jnp.float32),
         interpret=_interpret_mode(),
     )(counts, feats, baux)
     return dfeats
@@ -458,28 +467,28 @@ def composite_tiles(
     backend: str = "pallas",
 ):
     """Dispatch: 'pallas' (TPU kernels; interpreted off-TPU) or 'ref'
-    (pure-JAX oracle). feats: (T, 16, K); counts: (T,) occupied slots per
+    (pure-JAX oracle). feats: (T, K, 16); counts: (T,) occupied slots per
     tile (None = assume full; padded slots are zero-opacity either way)."""
     if backend == "ref":
         return composite_tiles_ref(feats, cfg)
     if counts is None:
-        counts = jnp.full((feats.shape[0],), feats.shape[2], jnp.int32)
+        counts = jnp.full((feats.shape[0],), feats.shape[1], jnp.int32)
     return composite_tiles_pallas(feats, counts, cfg)
 
 
 @jax.custom_vjp
 def gather_feats(feats_full: jnp.ndarray, index_matrix: jnp.ndarray,
                  slot_of_entry: jnp.ndarray) -> jnp.ndarray:
-    """(16, N+1) features + (T, K) indices -> (T, 16, K) tile layout.
+    """(N+1, 16) features + (T, K) indices -> (T, K, 16) tile layout.
 
-    Custom backward: instead of XLA's scatter-add transpose (which
-    serializes badly on TPU — measured ~20ms at N=100k), use the binning's
-    precomputed entry->(tile,slot) inverse permutation: a dense gather of
-    per-slot gradients followed by a per-Gaussian reduction over the
-    duplicate axis. Same sums, gather-only memory traffic.
+    Row-major everywhere: both the forward gather and the backward move
+    contiguous 64-byte rows (XLA's TPU gather of strided columns and its
+    scatter-add transpose both serialize badly — measured ~10-20ms each at
+    N=100k). The backward uses the binning's precomputed entry->(tile,slot)
+    inverse permutation: a dense row gather of per-slot gradients followed
+    by a per-Gaussian reduction over the duplicate axis.
     """
-    feats = jnp.take(feats_full, index_matrix, axis=1)   # (16, T, K)
-    return jnp.moveaxis(feats, 0, 1)                     # (T, 16, K)
+    return jnp.take(feats_full, index_matrix, axis=0)    # (T, K, 16)
 
 
 def _gather_feats_fwd(feats_full, index_matrix, slot_of_entry):
@@ -488,20 +497,19 @@ def _gather_feats_fwd(feats_full, index_matrix, slot_of_entry):
 
 
 def _gather_feats_bwd(res, dfeats):
-    (C, Np1), (T, K), slot_of_entry = res
+    (Np1, C), (T, K), slot_of_entry = res
     N = Np1 - 1
     E = slot_of_entry.shape[0]
     D = E // N
-    slot = slot_of_entry
+    slot = slot_of_entry                                 # linear t*K + k
     ok = slot < T * K
-    t_e = jnp.minimum(slot // K, T - 1)
-    k_e = slot % K
-    g_entry = dfeats[t_e, :, k_e]                        # (E, 16) gather
+    rows = jnp.minimum(slot, T * K - 1)
+    g_entry = jnp.take(dfeats.reshape(T * K, C), rows, axis=0)  # (E, 16)
     g_entry = jnp.where(ok[:, None], g_entry, 0.0)
     g = jnp.sum(g_entry.reshape(N, D, C), axis=1)        # (N, 16)
     d_full = jnp.concatenate(
-        [g.T, jnp.zeros((C, 1), g.dtype)], axis=1
-    )                                                    # (16, N+1)
+        [g, jnp.zeros((1, C), g.dtype)], axis=0
+    )                                                    # (N+1, 16)
     zi = jnp.zeros((T, K), jax.dtypes.float0)
     ze = jnp.zeros((E,), jax.dtypes.float0)
     return d_full, zi, ze
@@ -519,7 +527,7 @@ def pack_features(
     index_matrix: jnp.ndarray,  # (T, K) with sentinel N
     slot_of_entry: jnp.ndarray | None = None,  # (N*D,) from TileBins
 ) -> jnp.ndarray:
-    """Gather per-Gaussian features into the (T, 16, K) kernel layout.
+    """Gather per-Gaussian features into the (T, K, 16) kernel layout.
     With slot_of_entry, the gather uses the fast inverse-permutation
     backward; without it, plain autodiff (scatter-add) applies."""
     N = mean2d.shape[0]
@@ -529,19 +537,18 @@ def pack_features(
             conic[:, 0], conic[:, 1], conic[:, 2],
             opacity, rgb[:, 0], rgb[:, 1], rgb[:, 2], depth,
         ],
-        axis=0,
-    )                                               # (10, N)
+        axis=1,
+    )                                               # (N, 10)
     feats_full = jnp.concatenate(
         [
             feats_full,
-            jnp.zeros((FEAT_ROWS - feats_full.shape[0], N), feats_full.dtype),
+            jnp.zeros((N, FEAT_ROWS - feats_full.shape[1]), feats_full.dtype),
         ],
-        axis=0,
-    )                                               # (16, N)
+        axis=1,
+    )                                               # (N, 16)
     feats_full = jnp.concatenate(
-        [feats_full, jnp.zeros((FEAT_ROWS, 1), feats_full.dtype)], axis=1
-    )                                               # sentinel column N
+        [feats_full, jnp.zeros((1, FEAT_ROWS), feats_full.dtype)], axis=0
+    )                                               # sentinel row N
     if slot_of_entry is not None:
         return gather_feats(feats_full, index_matrix, slot_of_entry)
-    feats = jnp.take(feats_full, index_matrix, axis=1)   # (16, T, K)
-    return jnp.moveaxis(feats, 0, 1)                # (T, 16, K)
+    return jnp.take(feats_full, index_matrix, axis=0)    # (T, K, 16)

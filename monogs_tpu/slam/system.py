@@ -186,8 +186,10 @@ class SLAM:
         self.metrics["tracking_iters"].append(int(res.n_iters))
         return frame, res
 
-    def handle_keyframe(self, idx: int, frame: Frame):
+    def handle_keyframe(self, idx: int, frame: Frame, kf_list=None):
         """Mapper keyframe message (slam_mapper.py:639-722)."""
+        if kf_list is not None:
+            self.kf_list = list(kf_list)
         self._maybe_grow()  # before seeding, so no candidates are dropped
         self.state, (n_added, n_dropped) = extend_event(
             self.state, frame, idx, self.intr, self.mcfg, init=False
@@ -335,6 +337,79 @@ class SLAM:
             np.asarray(st.params["log_scales"])[active],
             np.asarray(st.params["quats"])[active],
         )
+
+    def run_async(self, n_frames: int | None = None,
+                  queue_depth: int = 2, mapper_timeout: float = 600.0):
+        """Tracker ∥ Mapper concurrency (the reference's 2-process topology,
+        slam.py:120-172, as host threads driving device steps).
+
+        The tracker keeps tracking new frames against the latest published
+        (immutable) map snapshot while the mapper thread consumes keyframe
+        messages from a bounded queue — backpressure replaces the
+        reference's requested_keyframe spin-wait (slam_tracker.py:357-370).
+        Unlike the reference (where a crashed mapper deadlocks the tracker,
+        SURVEY.md §5), mapper exceptions propagate to the caller.
+        """
+        import queue as _queue
+        import threading
+
+        q: _queue.Queue = _queue.Queue(maxsize=queue_depth)
+        errors: list[BaseException] = []
+        STOP = object()
+
+        def mapper_loop():
+            while True:
+                msg = q.get()
+                if msg is STOP:
+                    return
+                try:
+                    idx, frame, kf_list = msg
+                    self.handle_keyframe(idx, frame, kf_list=kf_list)
+                except BaseException as e:  # surface to tracker
+                    errors.append(e)
+                    return
+
+        mapper_thread = threading.Thread(target=mapper_loop, daemon=True)
+        mapper_thread.start()
+
+        n = len(self.dataset) if n_frames is None else n_frames
+        for idx in range(n):
+            if errors:
+                raise RuntimeError("mapper thread failed") from errors[0]
+            frame = self._load_frame(idx)
+            if idx == 0:
+                self.initialize(frame)
+                continue
+            frame, res = self.track(idx, frame)
+            self.frames[idx] = frame
+            last_kf = self.kf_list[0]
+            create_kf = (idx - last_kf) >= self.kcfg.kf_interval
+            if create_kf and self.kcfg.check_viewpoints_overlap:
+                create_kf = kf.should_add_as_keyframe(
+                    (np.asarray(frame.R), np.asarray(frame.t)),
+                    self.est_poses[last_kf],
+                    res.visibility, self.vis_dict[last_kf],
+                    self.median_depth, self.kcfg,
+                )
+            self._push_viewer(idx, frame)
+            if create_kf:
+                self.vis_dict[idx] = res.visibility
+                self.kf_list, _ = kf.add_to_window(
+                    idx, res.visibility, self.kf_list, self.vis_dict,
+                    self.est_poses, self.kcfg, self.is_window_full,
+                )
+                if len(self.kf_list) == self.kcfg.window_size:
+                    self.is_window_full = True
+                q.put((idx, frame, list(self.kf_list)),
+                      timeout=mapper_timeout)
+
+        q.put(STOP)
+        mapper_thread.join(timeout=mapper_timeout)
+        if errors:
+            raise RuntimeError("mapper thread failed") from errors[0]
+        rmse = self.eval_ate(label="final")
+        Log(f"final ATE RMSE {rmse:.4f} (async)", tag="Eval")
+        return rmse
 
     def run(self, n_frames: int | None = None):
         """Full sequential SLAM over the dataset (slam.py semantics)."""
