@@ -81,6 +81,7 @@ class MapperConfig:
     refine_iters: int = 26000
     lambda_ssim: float = 0.2
     # Rendering
+    tile_size: int = 16
     tile_capacity: int = 512
     max_dup: int = 16
     backend: str = "pallas"
@@ -167,8 +168,8 @@ class MappingAux(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
-def window_bins(state: MapperState, intr: Intrinsics, cfg: MapperConfig):
+def _window_bins_traced(state: MapperState, intr: Intrinsics,
+                        cfg: MapperConfig):
     """Tile binning for every window keyframe at the current state (reused
     across mapping iterations; refreshed on cadence / topology events)."""
     from ..ops.binning import tile_bin
@@ -186,21 +187,24 @@ def window_bins(state: MapperState, intr: Intrinsics, cfg: MapperConfig):
         )
         return tile_bin(
             proj.mean2d, proj.radius, proj.depth, proj.valid,
-            img_w=intr.width, img_h=intr.height,
+            img_w=intr.width, img_h=intr.height, tile_size=cfg.tile_size,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
         )
 
     return jax.vmap(per_kf)(f.R, f.t)
 
 
-@functools.partial(jax.jit, static_argnames=("intr", "cfg", "init"))
-def mapping_step(
-    state: MapperState, intr: Intrinsics, cfg: MapperConfig, init: bool = False,
-    bins=None,
+window_bins = jax.jit(_window_bins_traced, static_argnames=("intr", "cfg"))
+
+
+def _mapping_iter(
+    state: MapperState, intr: Intrinsics, cfg: MapperConfig, init: bool,
+    bins,
 ):
     """One mapping iteration over the whole window (slam_mapper.py:258-496;
     init=True reproduces initialize_map's single-frame loss without exposure,
-    slam_mapper.py:169-238)."""
+    slam_mapper.py:169-238). Traced body — see mapping_step / mapping_chunk
+    for the jitted entry points."""
     gmap, window = state.gmap, state.window
     Wc = window.capacity
     C = gmap.capacity
@@ -215,6 +219,7 @@ def mapping_step(
             params["xyz"], scales_fn(params), params["quats"],
             gm.get_opacity(params), params["rgb"],
             f.R, f.t, intr, rhos=rhos, thetas=thetas, active=gmap.active,
+            tile_size=cfg.tile_size,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
             backend=cfg.backend, mean2d_dummy=dummy, bins=bins,
         )
@@ -311,6 +316,44 @@ def mapping_step(
     return new_state, aux
 
 
+@functools.partial(jax.jit, static_argnames=("intr", "cfg", "init"))
+def mapping_step(
+    state: MapperState, intr: Intrinsics, cfg: MapperConfig, init: bool = False,
+    bins=None,
+):
+    """Single jitted mapping iteration (kept for tests/simple callers)."""
+    if bins is None:
+        bins = _window_bins_traced(state, intr, cfg)
+    return _mapping_iter(state, intr, cfg, init, bins)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("intr", "cfg", "init", "n_steps")
+)
+def mapping_chunk(
+    state: MapperState, intr: Intrinsics, cfg: MapperConfig, init: bool,
+    n_steps: int,
+):
+    """n_steps mapping iterations in ONE device program: tile binning once
+    at chunk start, then a fori_loop of iterations on frozen bins. Collapses
+    per-iteration host dispatch (measured ~50ms/call through the axon
+    tunnel) into one launch; the host only intervenes at cadence events."""
+    bins = _window_bins_traced(state, intr, cfg)
+    Wc = state.window.capacity
+    C = state.gmap.capacity
+    aux0 = MappingAux(
+        loss=jnp.zeros(()),
+        visibility=jnp.zeros((Wc, C), bool),
+        overflow=jnp.zeros((), jnp.int32),
+    )
+
+    def body(i, carry):
+        st, _ = carry
+        return _mapping_iter(st, intr, cfg, init, bins)
+
+    return jax.lax.fori_loop(0, n_steps, body, (state, aux0))
+
+
 # ---------------------------------------------------------------------------
 # Cadenced topology events (jitted, called by the host driver).
 # ---------------------------------------------------------------------------
@@ -365,7 +408,8 @@ def visibility_pass(state: MapperState, intr: Intrinsics, cfg: MapperConfig):
         gmap.params["quats"], gm.get_opacity(gmap.params),
         gmap.params["rgb"], f.R, f.t, intr,
         rhos=jnp.zeros((Wc, 3)), thetas=jnp.zeros((Wc, 3)),
-        active=gmap.active, tile_capacity=cfg.tile_capacity,
+        active=gmap.active, tile_size=cfg.tile_size,
+        tile_capacity=cfg.tile_capacity,
         max_dup=cfg.max_dup, backend=cfg.backend,
     )
     return (out.n_touched > 0) & window.valid[:, None]
@@ -472,24 +516,43 @@ def refine_step(state: MapperState, frame: Frame, intr: Intrinsics,
 # ---------------------------------------------------------------------------
 
 
+def _next_event(cur: int, moduli_offsets) -> int:
+    """Smallest it > cur with it % m == o for some (m, o)."""
+    best = 1 << 30
+    for m, o in moduli_offsets:
+        if m <= 0:
+            continue
+        r = (o - (cur + 1)) % m
+        best = min(best, cur + 1 + r)
+    return best
+
+
 def run_initialize_map(state: MapperState, intr: Intrinsics, cfg: MapperConfig,
                        log=None):
     """initialize_map (slam_mapper.py:169-241): init_itr_num iterations on
     the init keyframe with densify every init_gaussian_update and an opacity
-    reset at init_gaussian_reset. Returns (state, visibility (Wc,C))."""
+    reset at init_gaussian_reset. Iterations run in jitted chunks between
+    cadence events. Returns (state, visibility (Wc,C))."""
     aux = None
-    bins = None
-    for j in range(cfg.init_itr_num):
-        if bins is None or j % cfg.rebin_every == 0:
-            bins = window_bins(state, intr, cfg)
-        state, aux = mapping_step(state, intr, cfg, init=True, bins=bins)
+    start = int(state.nr_iters)
+    end = start + cfg.init_itr_num
+    while int(state.nr_iters) < end:
+        cur = int(state.nr_iters)
+        # Events fire after iterations where (it-1) % update == 0 or
+        # it == init_gaussian_reset.
+        stop = min(
+            _next_event(cur, [(cfg.init_gaussian_update, 1)]),
+            cfg.init_gaussian_reset if cfg.init_gaussian_reset > cur
+            else 1 << 30,
+            end,
+        )
+        n = min(stop - cur, cfg.rebin_every)
+        state, aux = mapping_chunk(state, intr, cfg, True, n)
         it = int(state.nr_iters)
         if (it - 1) % cfg.init_gaussian_update == 0:
             state, _ = densify_event(state, cfg, init_phase=True)
-            bins = None  # topology changed
         if it == cfg.init_gaussian_reset:
             state = reset_opacity_event(state)
-            bins = None
     return state, aux.visibility
 
 
@@ -497,13 +560,22 @@ def run_optimize_map(
     state: MapperState, intr: Intrinsics, cfg: MapperConfig, iters: int,
 ):
     """The iters_per_kf mapping loop with its cadences
-    (slam_mapper.py:244-496). Returns (state, last visibility)."""
+    (slam_mapper.py:244-496), run in jitted chunks between cadence events.
+    Returns (state, last visibility)."""
     visibility = None
-    bins = None
-    for j in range(iters):
-        if bins is None or j % cfg.rebin_every == 0:
-            bins = window_bins(state, intr, cfg)
-        state, aux = mapping_step(state, intr, cfg, init=False, bins=bins)
+    start = int(state.nr_iters)
+    end = start + iters
+    while int(state.nr_iters) < end:
+        cur = int(state.nr_iters)
+        stop = min(
+            _next_event(cur, [
+                (cfg.gaussian_update_every, cfg.gaussian_update_offset),
+                (cfg.gaussian_reset, 0),
+            ]),
+            end,
+        )
+        n = min(stop - cur, cfg.rebin_every)
+        state, aux = mapping_chunk(state, intr, cfg, False, n)
         visibility = aux.visibility
         it = int(state.nr_iters)
         update_gaussian = (
@@ -511,9 +583,7 @@ def run_optimize_map(
         )
         if update_gaussian:
             state, _ = densify_event(state, cfg, init_phase=False)
-            bins = None  # topology changed
         elif it % cfg.gaussian_reset == 0:
             any_visible = jnp.any(visibility, axis=0)
             state = reset_nonvisible_event(state, any_visible)
-            bins = None
     return state, visibility
