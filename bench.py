@@ -25,6 +25,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from monogs_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from monogs_tpu.ops.graphics import Intrinsics
     from monogs_tpu.slam.camera import make_frame
     from monogs_tpu.slam.tracker import TrackerConfig, track_frame

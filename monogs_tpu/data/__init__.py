@@ -7,6 +7,12 @@ from __future__ import annotations
 
 
 def load_dataset(config: dict):
+    from .base import maybe_preload
+
+    return maybe_preload(_make_dataset(config), config)
+
+
+def _make_dataset(config: dict):
     typ = config["Dataset"]["type"]
     if typ == "tum":
         from .tum import TUMDataset

@@ -88,3 +88,27 @@ class BaseDataset:
 
     def __getitem__(self, idx: int) -> dict:  # pragma: no cover - abstract
         raise NotImplementedError
+
+class PreloadedDataset:
+    """Full in-memory preload wrapper (reference dataset.py:376-394
+    `preload` option): frames are loaded once; attribute access delegates to
+    the wrapped dataset."""
+
+    def __init__(self, dataset):
+        self._dataset = dataset
+        self._frames = [dataset[i] for i in range(len(dataset))]
+
+    def __getattr__(self, name):
+        return getattr(self._dataset, name)
+
+    def __len__(self):
+        return len(self._frames)
+
+    def __getitem__(self, idx: int) -> dict:
+        return self._frames[idx]
+
+
+def maybe_preload(dataset, config: dict):
+    if config.get("Dataset", {}).get("preload", False):
+        return PreloadedDataset(dataset)
+    return dataset

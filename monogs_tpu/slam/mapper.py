@@ -546,7 +546,9 @@ def run_initialize_map(state: MapperState, intr: Intrinsics, cfg: MapperConfig,
             else 1 << 30,
             end,
         )
-        n = min(stop - cur, cfg.rebin_every)
+        # Chunk sizes restricted to {rebin_every, 1}: every distinct
+        # n_steps is a separate (expensive, remotely compiled) program.
+        n = cfg.rebin_every if stop - cur >= cfg.rebin_every else 1
         state, aux = mapping_chunk(state, intr, cfg, True, n)
         it = int(state.nr_iters)
         if (it - 1) % cfg.init_gaussian_update == 0:
@@ -574,7 +576,7 @@ def run_optimize_map(
             ]),
             end,
         )
-        n = min(stop - cur, cfg.rebin_every)
+        n = cfg.rebin_every if stop - cur >= cfg.rebin_every else 1
         state, aux = mapping_chunk(state, intr, cfg, False, n)
         visibility = aux.visibility
         it = int(state.nr_iters)

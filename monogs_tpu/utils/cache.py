@@ -1,0 +1,27 @@
+"""Persistent XLA compilation cache.
+
+First compiles of the full tracker/mapper programs take 30-120s (remote
+compilation on the axon TPU rig); the persistent cache makes every later
+process start warm. Safe no-op where unsupported.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None):
+    try:
+        import jax
+
+        cache_dir = path or os.environ.get(
+            "MONOGS_JAX_CACHE", os.path.expanduser("~/.cache/monogs_jax")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", 0
+        )
+    except Exception:  # pragma: no cover - best effort
+        pass

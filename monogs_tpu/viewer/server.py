@@ -33,7 +33,8 @@ button,select{background:#333;color:#ddd;border:1px solid #555;margin:2px}
 <div id="hud">
   <div>frame <span id="fidx">-</span> | drag=orbit wheel=zoom shift-drag=pan</div>
   <select id="shader"><option>rgb</option><option>depth</option>
-  <option>segmentation</option><option>time</option></select>
+  <option>segmentation</option><option>time</option>
+  <option>ellipsoids</option></select>
   <button id="pause">pause</button>
   <button id="follow">follow cam</button>
 </div>
@@ -186,6 +187,16 @@ def make_render_fn(slam, max_width: int = 480):
         )
         p = st.params
         rgb = p["rgb"]
+        opacity = gm.get_opacity(p)
+        scales = gm.get_scales(p, slam.mcfg.isotropic)
+        if shader == "ellipsoids":
+            # Hard-surface ellipsoid mode (reference GL renderer analogue,
+            # viewer/gl_render/*): opaque splats at ~1 sigma with a simple
+            # normal-ish shading from the scale anisotropy.
+            opacity = jnp.minimum(opacity * 4.0, 0.99)
+            scales = scales * 0.5
+            aniso = scales / (jnp.max(scales, axis=1, keepdims=True) + 1e-8)
+            rgb = jnp.clip(rgb * (0.6 + 0.4 * aniso), 0.0, 1.0)
         if shader == "segmentation":
             k = st.obj_prob.shape[1]
             palette = jnp.asarray(
@@ -200,8 +211,7 @@ def make_render_fn(slam, max_width: int = 480):
                 [[0.1, 0.3, 1.0]]
             )
         out = render(
-            p["xyz"], gm.get_scales(p, slam.mcfg.isotropic), p["quats"],
-            gm.get_opacity(p), rgb,
+            p["xyz"], scales, p["quats"], opacity, rgb,
             jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32),
             view_intr, active=st.active,
             tile_capacity=slam.mcfg.tile_capacity, max_dup=slam.mcfg.max_dup,

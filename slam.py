@@ -31,6 +31,9 @@ def main():
 
     import yaml
 
+    from monogs_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from monogs_tpu.data import load_dataset
     from monogs_tpu.slam.system import SLAM
     from monogs_tpu.utils.config import (

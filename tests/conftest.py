@@ -21,3 +21,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Tests compare against numpy float64-free references; keep matmuls exact.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+from monogs_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
