@@ -63,7 +63,6 @@ def main():
     # is per-iteration latency of the full optimization loop.
     cfg = TrackerConfig(
         max_iters=N_ITERS, convergence_threshold=0.0, opacity_threshold=0.5,
-        tile_capacity=1024, max_dup=16,
     )
 
     # NOTE: a concrete scalar readback (not just block_until_ready) is used

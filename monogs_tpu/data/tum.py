@@ -15,7 +15,7 @@ from .base import BaseDataset
 
 
 def parse_list(filepath: str, skiprows: int = 0) -> np.ndarray:
-    return np.loadtxt(filepath, delimiter=" ", dtype=np.unicode_, skiprows=skiprows)
+    return np.loadtxt(filepath, delimiter=" ", dtype=np.str_, skiprows=skiprows)
 
 
 def associate_frames(

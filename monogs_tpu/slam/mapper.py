@@ -80,10 +80,10 @@ class MapperConfig:
     # Refinement (slam_mapper.py:502-548)
     refine_iters: int = 26000
     lambda_ssim: float = 0.2
-    # Rendering
-    tile_size: int = 16
-    tile_capacity: int = 512
-    max_dup: int = 16
+    # Rendering (tile 32: see TrackerConfig note)
+    tile_size: int = 32
+    tile_capacity: int = 1024
+    max_dup: int = 8
     backend: str = "pallas"
     isotropic: bool = False
     # Monocular (no sensor depth): upstream-MonoGS seeding semantics.

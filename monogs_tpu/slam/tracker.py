@@ -47,9 +47,11 @@ class TrackerConfig:
     lr_trans: float = 0.001       # Training.lr.cam_trans_delta
     lr_exposure: float = 0.01     # slam_tracker.py:121-131
     adam_eps: float = 1e-8        # torch.optim.Adam default
-    tile_size: int = 16
-    tile_capacity: int = 1024
-    max_dup: int = 32
+    # Tile 32 measured 1.6x faster than 16 at 640x480/100k (fewer duplicate
+    # entries, larger per-tile MXU batches); K=2048 keeps overflow headroom.
+    tile_size: int = 32
+    tile_capacity: int = 2048
+    max_dup: int = 8
     backend: str = "pallas"
     isotropic: bool = False
 

@@ -59,8 +59,9 @@ def build_tracker_config(cfg: dict, backend: str = "pallas"):
         max_iters=g("Training", "tracking_itr_num", d=100),
         lr_rot=g("Training", "lr", "cam_rot_delta", d=0.003),
         lr_trans=g("Training", "lr", "cam_trans_delta", d=0.001),
-        tile_capacity=g("Raster", "tile_capacity", d=1024),
-        max_dup=g("Raster", "max_dup", d=32),
+        tile_size=g("Raster", "tile_size", d=32),
+        tile_capacity=g("Raster", "tracking_tile_capacity", d=2048),
+        max_dup=g("Raster", "max_dup", d=8),
         backend=backend,
         isotropic=g("Gaussians", "isotropic", d=False),
     )
@@ -99,8 +100,9 @@ def build_mapper_config(cfg: dict, backend: str = "pallas"):
         lr_rot=g("Training", "lr", "cam_rot_delta", d=0.003) * 0.5,
         lr_trans=g("Training", "lr", "cam_trans_delta", d=0.001) * 0.5,
         lambda_ssim=g("opt_params", "lambda_ssim", d=0.2),
-        tile_capacity=g("Raster", "tile_capacity", d=512),
-        max_dup=g("Raster", "max_dup", d=16),
+        tile_size=g("Raster", "tile_size", d=32),
+        tile_capacity=g("Raster", "tile_capacity", d=1024),
+        max_dup=g("Raster", "max_dup", d=8),
         backend=backend,
         isotropic=g("Gaussians", "isotropic", d=False),
         monocular=g("Dataset", "sensor_type", d="depth") == "monocular"

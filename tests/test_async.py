@@ -28,10 +28,10 @@ def test_async_mode_tracks():
     ds = SyntheticDataset(CFG)
     slam = SLAM(
         ds,
-        tracker_config=TrackerConfig(max_iters=15, tile_capacity=128,
+        tracker_config=TrackerConfig(tile_size=16, max_iters=15, tile_capacity=128,
                                      max_dup=16, backend="ref",
                                      opacity_threshold=0.5),
-        mapper_config=MapperConfig(init_itr_num=40, init_gaussian_update=20,
+        mapper_config=MapperConfig(tile_size=16, init_itr_num=40, init_gaussian_update=20,
                                    init_gaussian_reset=100, iters_per_kf=8,
                                    gaussian_update_every=1000, window_size=3,
                                    prune_coviz=1, tile_capacity=128,
@@ -58,10 +58,10 @@ def test_async_mapper_failure_propagates():
     ds = SyntheticDataset(CFG)
     slam = SLAM(
         ds,
-        tracker_config=TrackerConfig(max_iters=5, tile_capacity=128,
+        tracker_config=TrackerConfig(tile_size=16, max_iters=5, tile_capacity=128,
                                      max_dup=16, backend="ref",
                                      opacity_threshold=0.5),
-        mapper_config=MapperConfig(init_itr_num=10, iters_per_kf=2,
+        mapper_config=MapperConfig(tile_size=16, init_itr_num=10, iters_per_kf=2,
                                    gaussian_update_every=1000, window_size=3,
                                    tile_capacity=128, max_dup=16,
                                    backend="ref"),

@@ -31,10 +31,10 @@ def _make_slam():
     ds = SyntheticDataset(CFG)
     return SLAM(
         ds,
-        tracker_config=TrackerConfig(max_iters=10, tile_capacity=128,
+        tracker_config=TrackerConfig(tile_size=16, max_iters=10, tile_capacity=128,
                                      max_dup=16, backend="ref",
                                      opacity_threshold=0.5),
-        mapper_config=MapperConfig(init_itr_num=20, init_gaussian_update=10,
+        mapper_config=MapperConfig(tile_size=16, init_itr_num=20, init_gaussian_update=10,
                                    init_gaussian_reset=100, iters_per_kf=5,
                                    window_size=3, tile_capacity=128,
                                    max_dup=16, backend="ref"),

@@ -40,11 +40,12 @@ CFG = {
 @pytest.fixture(scope="module")
 def slam_run():
     ds = SyntheticDataset(CFG)
-    tcfg = TrackerConfig(max_iters=40, tile_capacity=128, max_dup=32,
+    tcfg = TrackerConfig(tile_size=16, max_iters=40, tile_capacity=128, max_dup=32,
                          backend="ref", opacity_threshold=0.5)
     # Scaled-down budgets; like the reference, the opacity reset needs ample
     # post-reset iterations to recover (500/1050 there, 60/160 here).
     mcfg = MapperConfig(
+        tile_size=16,
         init_itr_num=160, init_gaussian_update=50, init_gaussian_reset=60,
         iters_per_kf=30, gaussian_update_every=60, gaussian_update_offset=10,
         window_size=4, tile_capacity=128, max_dup=32, backend="ref",
@@ -119,10 +120,11 @@ def test_monocular_slam_runs():
     ds = SyntheticDataset(cfg)
     slam = SLAM(
         ds,
-        tracker_config=TrackerConfig(max_iters=25, tile_capacity=128,
+        tracker_config=TrackerConfig(tile_size=16, max_iters=25, tile_capacity=128,
                                      max_dup=32, backend="ref",
                                      opacity_threshold=0.5),
         mapper_config=MapperConfig(
+        tile_size=16,
             init_itr_num=120, init_gaussian_update=50, init_gaussian_reset=200,
             iters_per_kf=20, gaussian_update_every=500,
             gaussian_update_offset=10, window_size=3, tile_capacity=128,
