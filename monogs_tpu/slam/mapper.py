@@ -580,6 +580,12 @@ def run_optimize_map(
         state, aux = mapping_chunk(state, intr, cfg, False, n)
         visibility = aux.visibility
         it = int(state.nr_iters)
+        overflow = int(aux.overflow)
+        if overflow > 1000:
+            from ..utils.logging import Log
+
+            Log(f"binning overflow {overflow} entries — consider larger "
+                f"tile_capacity/max_dup", tag="Mapper")
         update_gaussian = (
             it % cfg.gaussian_update_every == cfg.gaussian_update_offset
         )

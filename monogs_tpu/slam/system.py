@@ -76,6 +76,27 @@ class SLAM:
         self.state: MapperState | None = None
         self.metrics = {"ate": [], "tracking_iters": [], "frame_times": []}
         self.viewer = None
+        # Multi-device window sharding (BASELINE config 5): the keyframe
+        # window's leading axis shards across the mesh; the map replicates
+        # and XLA all-reduces its gradients over ICI.
+        self.mesh = None
+        if self.scfg.mesh_devices:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(self.scfg.mesh_devices)
+
+    def _window_capacity(self) -> int:
+        cap = self.kcfg.window_size + 2
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            cap = -(-cap // n) * n  # round up to a device multiple
+        return cap
+
+    def _place_state(self):
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_mapper_state
+
+            self.state = shard_mapper_state(self.state, self.mesh)
 
     def start_viewer(self, port: int = 8890):
         """Launch the in-process web viewer (reference GUI counterpart,
@@ -154,10 +175,11 @@ class SLAM:
     def initialize(self, frame: Frame):
         """Frame-0 handling (slam_tracker.py:396-407, slam_mapper.py:619-637)."""
         nr_objects = getattr(self.dataset, "nr_objects", 1)
-        window = window_from_list([frame], self.kcfg.window_size + 2)
+        window = window_from_list([frame], self._window_capacity())
         self.state = init_mapper_state(
             self.scfg.map_capacity, nr_objects, window, seed=self.scfg.seed
         )
+        self._place_state()
         self.state, (n_added, _) = extend_event(
             self.state, frame, 0, self.intr, self.mcfg, init=True
         )
@@ -199,12 +221,13 @@ class SLAM:
 
         # Stack the window (newest first, matching kf_list order).
         frames = [self.frames[i] if i != idx else frame for i in self.kf_list]
-        window = window_from_list(frames, self.kcfg.window_size + 2)
+        window = window_from_list(frames, self._window_capacity())
         self.state = self.state._replace(
             window=window,
             # Fresh keyframe optimizers per event (slam_mapper.py:717).
             pose_adam=init_pose_adam(window.capacity),
         )
+        self._place_state()
 
         self.state, _ = run_optimize_map(
             self.state, self.intr, self.mcfg, self.mcfg.iters_per_kf

@@ -141,6 +141,10 @@ class SystemConfig:
     eval_every: int = 10            # save_trj_every (slam_tracker.py:67)
     use_gt_pose: bool = False       # debug: skip tracking
     backend: str = "pallas"
+    # Shard the mapping window across this many devices (0 = single device).
+    # The map replicates; per-keyframe render+backward runs SPMD with the
+    # Gaussian-gradient all-reduce inserted by XLA (parallel/mesh.py).
+    mesh_devices: int = 0
 
 
 def build_system_config(cfg: dict) -> SystemConfig:
@@ -152,4 +156,5 @@ def build_system_config(cfg: dict) -> SystemConfig:
         save_dir=g("Results", "save_dir", d=None),
         eval_every=g("Results", "save_trj_kf_intv", d=10),
         backend=g("System", "backend", d="pallas"),
+        mesh_devices=g("System", "mesh_devices", d=0),
     )

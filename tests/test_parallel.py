@@ -84,3 +84,67 @@ def test_sharded_step_matches_single_device(mesh8):
         for d in [s2.window.frames.rgb]
     }
     assert any("win" in s for s in shardings), shardings
+
+
+def test_sharded_slam_e2e(mesh8):
+    """Full SLAM with the mapping window sharded over the 8-device mesh
+    (BASELINE config 5 capability on the CPU test rig): must track and map
+    comparably to the single-device pipeline."""
+    import numpy as np
+
+    from monogs_tpu.data.synthetic import SyntheticDataset
+    from monogs_tpu.slam.keyframes import KeyframeConfig
+    from monogs_tpu.slam.mapper import MapperConfig
+    from monogs_tpu.slam.system import SLAM
+    from monogs_tpu.slam.tracker import TrackerConfig
+    from monogs_tpu.utils.config import SystemConfig
+
+    cfg = {
+        "Dataset": {
+            "type": "synthetic",
+            "Calibration": {
+                "width": 64, "height": 48,
+                "fx": 50.0, "fy": 50.0, "cx": 32.0, "cy": 24.0,
+                "depth_scale": 1.0,
+            },
+            "Objects": {"static": [0], "dynamic": [], "masked": []},
+            "synthetic": {"n_frames": 5, "n_gaussians": 500, "seed": 7,
+                          "motion_scale": 0.008},
+        },
+    }
+    ds = SyntheticDataset(cfg)
+
+    def build(mesh_devices):
+        return SLAM(
+            ds,
+            tracker_config=TrackerConfig(tile_size=16, max_iters=10,
+                                         tile_capacity=128, max_dup=16,
+                                         backend="ref",
+                                         opacity_threshold=0.5),
+            mapper_config=MapperConfig(tile_size=16, init_itr_num=20,
+                                       init_gaussian_update=10,
+                                       init_gaussian_reset=100,
+                                       iters_per_kf=6,
+                                       gaussian_update_every=1000,
+                                       window_size=6, prune_coviz=1,
+                                       tile_capacity=128, max_dup=16,
+                                       backend="ref"),
+            keyframe_config=KeyframeConfig(window_size=6),
+            system_config=SystemConfig(map_capacity=4096,
+                                       capacity_headroom=256,
+                                       eval_every=0,
+                                       mesh_devices=mesh_devices),
+        )
+
+    slam_sharded = build(8)
+    rmse_sharded = slam_sharded.run()
+    slam_single = build(0)
+    rmse_single = slam_single.run()
+
+    assert np.isfinite(rmse_sharded)
+    # Same math modulo collective reduction order.
+    np.testing.assert_allclose(rmse_sharded, rmse_single, atol=1e-3)
+    assert (
+        abs(int(slam_sharded.state.gmap.num_active)
+            - int(slam_single.state.gmap.num_active)) < 50
+    )
