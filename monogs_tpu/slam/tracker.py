@@ -28,7 +28,6 @@ from ..ops import lie
 from ..ops.graphics import Intrinsics
 from ..ops.losses import get_loss_tracking, get_median_depth
 from ..ops.render import render
-from ..ops.tile_raster import TOUCH_T_MIN  # noqa: F401  (doc cross-ref)
 
 
 @dataclasses.dataclass(frozen=True)

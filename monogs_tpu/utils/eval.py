@@ -96,7 +96,37 @@ def eval_traj_ate(
             )
         with open(os.path.join(plot_dir, f"stats_{label}.json"), "w") as f:
             json.dump({"rmse": rmse, "aligned": align, "n_frames": len(idxs)}, f)
+        _plot_trajectory(
+            est, gt, rmse, os.path.join(plot_dir, f"trj_{label}.png")
+        )
     return rmse
+
+
+def _plot_trajectory(est_c2w, gt_c2w, rmse, path):
+    """Top-down trajectory plot (the evo-plot analogue,
+    eval_utils.py:109-126). Best effort — skipped without matplotlib."""
+    try:  # pragma: no cover - plotting side effect
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        est = np.stack([T[:3, 3] for T in est_c2w])
+        gt = np.stack([T[:3, 3] for T in gt_c2w])
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.plot(gt[:, 0], gt[:, 2], "k--", label="ground truth")
+        ax.plot(est[:, 0], est[:, 2], "c-", label="estimate")
+        ax.scatter(est[0, 0], est[0, 2], c="g", marker="^", label="start")
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("z [m]")
+        ax.set_title(f"ATE RMSE {rmse:.4f} m")
+        ax.legend()
+        ax.set_aspect("equal", adjustable="datalim")
+        fig.tight_layout()
+        fig.savefig(path, dpi=90)
+        plt.close(fig)
+    except Exception:
+        pass
 
 
 def eval_rendering(
