@@ -160,6 +160,7 @@ def init_mapper_state(capacity: int, nr_objects: int, window: Window,
 class MappingAux(NamedTuple):
     loss: jnp.ndarray
     visibility: jnp.ndarray   # (Wc, C) bool — n_touched > 0 per window slot
+    vis_filter: jnp.ndarray   # (Wc, C) bool — radii > 0 (visibility_filter)
     overflow: jnp.ndarray
 
 
@@ -311,6 +312,7 @@ def _mapping_iter(
     aux = MappingAux(
         loss=loss,
         visibility=(out.n_touched > 0) & window.valid[:, None],
+        vis_filter=vis_filter & window.valid[:, None],
         overflow=out.overflow,
     )
     return new_state, aux
@@ -344,6 +346,7 @@ def mapping_chunk(
     aux0 = MappingAux(
         loss=jnp.zeros(()),
         visibility=jnp.zeros((Wc, C), bool),
+        vis_filter=jnp.zeros((Wc, C), bool),
         overflow=jnp.zeros((), jnp.int32),
     )
 
@@ -592,6 +595,8 @@ def run_optimize_map(
         if update_gaussian:
             state, _ = densify_event(state, cfg, init_phase=False)
         elif it % cfg.gaussian_reset == 0:
-            any_visible = jnp.any(visibility, axis=0)
+            # Reference uses the radii>0 visibility_filter list here
+            # (slam_mapper.py:476-479), not the n_touched signal.
+            any_visible = jnp.any(aux.vis_filter, axis=0)
             state = reset_nonvisible_event(state, any_visible)
     return state, visibility
