@@ -85,6 +85,10 @@ def build_mapper_config(cfg: dict, backend: str = "pallas"):
         gaussian_reset=g("Training", "gaussian_reset", d=2001),
         size_threshold=g("Training", "size_threshold", d=20.0),
         window_size=g("Training", "window_size", d=8),
+        prune_coviz=_safe_prune_coviz(
+            g("Training", "prune_coviz", d=3),
+            g("Training", "window_size", d=8),
+        ),
         densify_grad_threshold=g(
             "opt_params", "densify_grad_threshold", d=2e-4
         ),
@@ -111,6 +115,24 @@ def build_mapper_config(cfg: dict, backend: str = "pallas"):
         pcd_downsample=g("Dataset", "pcd_downsample", d=64),
         point_size=g("Dataset", "point_size", d=0.01),
     )
+
+
+def _safe_prune_coviz(prune_coviz: int, window_size: int) -> int:
+    """Covisibility pruning removes Gaussians observed <= prune_coviz times
+    across the window; with window_size <= prune_coviz the test is
+    tautological (max nr_obs == window_size) and silently wipes the map.
+    Clamp and warn."""
+    if window_size <= prune_coviz:
+        from .logging import Log
+
+        safe = max(window_size - 2, 1)
+        Log(
+            f"prune_coviz {prune_coviz} >= window_size {window_size} would "
+            f"prune every Gaussian; clamping to {safe}",
+            tag="System",
+        )
+        return safe
+    return prune_coviz
 
 
 def build_keyframe_config(cfg: dict):
