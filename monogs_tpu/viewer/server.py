@@ -39,6 +39,7 @@ button,select{background:#333;color:#ddd;border:1px solid #555;margin:2px}
   <button id="follow">follow cam</button>
 </div>
 <img id="view" width="960">
+<img id="inputs" width="960" style="opacity:0.9">
 <script>
 let yaw=0,pitch=0,dist=0,panx=0,pany=0,follow=true,paused=false,busy=false;
 const img=document.getElementById('view');
@@ -46,6 +47,7 @@ function refresh(){ if(busy) return; busy=true;
   const q=`/render?yaw=${yaw}&pitch=${pitch}&dist=${dist}&panx=${panx}&pany=${pany}&follow=${follow?1:0}&shader=${document.getElementById('shader').value}`;
   fetch(q).then(r=>r.blob()).then(b=>{img.src=URL.createObjectURL(b);busy=false;});
   fetch('/state').then(r=>r.json()).then(s=>{document.getElementById('fidx').textContent=s.frame;});
+  fetch('/input').then(r=>r.blob()).then(b=>{document.getElementById('inputs').src=URL.createObjectURL(b);});
 }
 setInterval(refresh, 250);
 let drag=false,px=0,py=0;
@@ -113,6 +115,9 @@ class ViewerServer:
                 elif url.path == "/render":
                     img = viewer._render_view(q)
                     self._send(200, img, "image/png")
+                elif url.path == "/input":
+                    img = viewer._input_view()
+                    self._send(200, img, "image/png")
                 else:
                     self._send(404, b"not found")
 
@@ -150,6 +155,28 @@ class ViewerServer:
         R2 = d_R @ np.asarray(R)
         t2 = d_R @ np.asarray(t) + np.array([panx, pany, dist])
         return R2, t2
+
+    def _input_view(self) -> bytes:
+        """Current input frame as rgb | jet-depth | segmentation strip
+        (reference input widgets, slam_viewer.py:542-585)."""
+        import cv2
+
+        pkt = self.slot.get()
+        if pkt is None or pkt.gt_rgb is None:
+            blank = np.zeros((8, 8, 3), np.uint8)
+            return cv2.imencode(".png", blank)[1].tobytes()
+        rgb = (np.clip(np.asarray(pkt.gt_rgb), 0, 1) * 255).astype(np.uint8)
+        panels = [cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)]
+        if pkt.gt_depth is not None:
+            d = np.asarray(pkt.gt_depth)
+            dn = (255 * d / max(float(d.max()), 1e-6)).astype(np.uint8)
+            panels.append(cv2.applyColorMap(dn, cv2.COLORMAP_JET))
+        if pkt.gt_segmentation is not None:
+            seg = np.asarray(pkt.gt_segmentation).astype(np.uint8)
+            segn = (seg * (255 // max(int(seg.max()), 1))).astype(np.uint8)
+            panels.append(cv2.applyColorMap(segn, cv2.COLORMAP_HSV))
+        strip = np.concatenate(panels, axis=1)
+        return cv2.imencode(".png", strip)[1].tobytes()
 
     def _render_view(self, q) -> bytes:
         import cv2
