@@ -475,9 +475,8 @@ def extend_event(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
-def refine_step(state: MapperState, frame: Frame, intr: Intrinsics,
-                cfg: MapperConfig):
+def _refine_iter(state: MapperState, frame: Frame, intr: Intrinsics,
+                 cfg: MapperConfig):
     """One color-refinement iteration (slam_mapper.py:502-548):
     (1-lambda)*L1 + lambda*(1-SSIM) on a random keyframe, Gaussian params
     only."""
@@ -488,6 +487,7 @@ def refine_step(state: MapperState, frame: Frame, intr: Intrinsics,
             params["xyz"], gm.get_scales(params, cfg.isotropic),
             params["quats"], gm.get_opacity(params), params["rgb"],
             frame.R, frame.t, intr, active=gmap.active,
+            tile_size=cfg.tile_size,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
             backend=cfg.backend,
         )
@@ -512,6 +512,24 @@ def refine_step(state: MapperState, frame: Frame, intr: Intrinsics,
         gmap=gmap._replace(params=new_params), adam=new_adam,
         nr_iters=state.nr_iters + 1,
     )
+
+
+refine_step = jax.jit(_refine_iter, static_argnames=("intr", "cfg"))
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def refine_chunk(state: MapperState, frames, intr: Intrinsics,
+                 cfg: MapperConfig):
+    """A batch of refinement iterations in one device program (frames is a
+    stacked Frame pytree with a leading batch axis); amortizes per-call
+    dispatch like mapping_chunk."""
+    B = frames.frame_idx.shape[0]
+
+    def body(i, st):
+        frame = jax.tree.map(lambda x: x[i], frames)
+        return _refine_iter(st, frame, intr, cfg)
+
+    return jax.lax.fori_loop(0, B, body, state)
 
 
 # ---------------------------------------------------------------------------

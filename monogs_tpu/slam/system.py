@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,6 +35,7 @@ from . import keyframes as kf
 from .camera import Frame, make_frame, window_from_list, window_get
 from .mapper import (
     MapperState,
+    refine_chunk,
     covisibility_prune,
     extend_event,
     init_mapper_state,
@@ -336,17 +338,33 @@ class SLAM:
         iters = iters if iters is not None else self.mcfg.refine_iters
         rng = _random.Random(self.scfg.seed)
         kf_idxs = sorted(self.est_poses.keys())
-        for _ in range(iters):
-            idx = kf_idxs[rng.randrange(len(kf_idxs))]
+
+        def fetch(idx):
             if idx in self.frames:
-                frame = self.frames[idx]
+                return self.frames[idx]
+            frame = self._load_frame(idx)
+            R, t = self.est_poses[idx]
+            return frame._replace(
+                R=jnp.asarray(R, jnp.float32), t=jnp.asarray(t, jnp.float32)
+            )
+
+        # Batched chunks amortize per-call dispatch (see mapping_chunk);
+        # chunk sizes restricted to {8, 1} to bound compile variants.
+        B = 8
+        done = 0
+        while done < iters:
+            if iters - done >= B:
+                batch = [fetch(kf_idxs[rng.randrange(len(kf_idxs))])
+                         for _ in range(B)]
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batch)
+                self.state = refine_chunk(self.state, stacked, self.intr,
+                                          self.mcfg)
+                done += B
             else:
-                frame = self._load_frame(idx)
-                R, t = self.est_poses[idx]
-                frame = frame._replace(
-                    R=jnp.asarray(R, jnp.float32), t=jnp.asarray(t, jnp.float32)
-                )
-            self.state = refine_step(self.state, frame, self.intr, self.mcfg)
+                idx = kf_idxs[rng.randrange(len(kf_idxs))]
+                self.state = refine_step(self.state, fetch(idx), self.intr,
+                                         self.mcfg)
+                done += 1
 
     def save_map(self, path: str):
         st = self.state.gmap
