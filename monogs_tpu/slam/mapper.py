@@ -88,6 +88,10 @@ class MapperConfig:
     isotropic: bool = False
     # Monocular (no sensor depth): upstream-MonoGS seeding semantics.
     monocular: bool = False
+    # Isotropy regularization 10*mean|s - mean(s)| (upstream MonoGS; the
+    # fork comments it out at slam_mapper.py:390-393 in favor of the hard
+    # isotropic flag). 0 disables (fork behavior).
+    isotropic_loss_weight: float = 0.0
     # Re-run tile binning every k mapping iterations (Gaussian/pose motion
     # per iteration is sub-pixel); topology events always force a refresh.
     rebin_every: int = 8
@@ -228,6 +232,13 @@ def _mapping_iter(
             functools.partial(get_loss_mapping, init=init)
         )(out.rgb, out.depth, f.rgb, f.depth, f.mask, eas, ebs)
         loss = jnp.sum(losses * valid_f)
+        if cfg.isotropic_loss_weight > 0.0:
+            scal = scales_fn(params)
+            dev = jnp.abs(scal - jnp.mean(scal, axis=1, keepdims=True))
+            iso = jnp.sum(
+                jnp.where(gmap.active[:, None], dev, 0.0)
+            ) / (3.0 * jnp.maximum(jnp.sum(gmap.active), 1))
+            loss = loss + cfg.isotropic_loss_weight * iso
         return loss, out
 
     z3 = jnp.zeros((Wc, 3))

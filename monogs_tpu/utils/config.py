@@ -109,6 +109,7 @@ def build_mapper_config(cfg: dict, backend: str = "pallas"):
         max_dup=g("Raster", "max_dup", d=8),
         backend=backend,
         isotropic=g("Gaussians", "isotropic", d=False),
+        isotropic_loss_weight=g("Training", "isotropic_loss_weight", d=0.0),
         monocular=g("Dataset", "sensor_type", d="depth") == "monocular"
         and not g("Dataset", "Calibration", "use_depth", d=False),
         pcd_downsample_init=g("Dataset", "pcd_downsample_init", d=32),
