@@ -27,6 +27,10 @@ def main():
                     help="color refinement iterations after SLAM")
     ap.add_argument("--ate-align", action="store_true",
                     help="Umeyama-align trajectories before ATE")
+    ap.add_argument("--viewer", type=int, default=0, metavar="PORT",
+                    help="start the live web viewer on this port")
+    ap.add_argument("--async-mode", action="store_true",
+                    help="tracker and mapper run concurrently")
     args = ap.parse_args()
 
     import yaml
@@ -69,8 +73,13 @@ def main():
         system_config=build_system_config(config),
     )
     slam.scfg.save_dir = save_dir
+    if args.viewer:
+        slam.start_viewer(port=args.viewer)
 
-    rmse = slam.run(n_frames=args.n_frames)
+    if args.async_mode:
+        rmse = slam.run_async(n_frames=args.n_frames)
+    else:
+        rmse = slam.run(n_frames=args.n_frames)
     if args.refine:
         slam.refine(iters=args.refine)
     if args.eval or config.get("Results", {}).get("eval_rendering", False):
