@@ -119,20 +119,18 @@ def tile_bin(
         in_range, sort_idx[gather_pos_safe], N
     ).astype(jnp.int32)
 
-    # Inverse mapping entry -> (tile, slot): which (t, k) holds sorted
-    # position j, pushed back to original entry order. Both scatters have
-    # unique indices (each slot holds exactly one sorted position).
+    # Inverse mapping entry -> (tile, slot). The slot of sorted position j
+    # is analytic — j minus its tile's segment start, capped by capacity —
+    # so only one unique-index scatter (the un-permutation) is needed.
     K = tile_capacity
-    t_ids = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[:, None], (T, K)
-    )
-    linear_slot = t_ids * K + k                                # (T,K)
-    slot_of_sorted = jnp.full((E,), T * K, jnp.int32).at[
-        jnp.where(in_range, gather_pos, E)
-    ].set(jnp.where(in_range, linear_slot, T * K), mode="drop",
-          unique_indices=True)
+    j = jnp.arange(E, dtype=jnp.int32)
+    t_j = jnp.minimum(sort_tile, T)                            # sentinel -> T
+    k_j = j - starts[t_j]
+    slot_sorted = jnp.where(
+        (t_j < T) & (k_j < K), t_j * K + k_j, T * K
+    ).astype(jnp.int32)
     slot_of_entry = jnp.full((E,), T * K, jnp.int32).at[sort_entry].set(
-        slot_of_sorted, unique_indices=True
+        slot_sorted, unique_indices=True
     )
 
     overflow = jnp.sum(jnp.maximum(n_cover - max_dup, 0)) + jnp.sum(
