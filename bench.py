@@ -61,8 +61,13 @@ def main():
 
     # Force exactly N_ITERS iterations (no convergence exit) so the measure
     # is per-iteration latency of the full optimization loop.
+    # entry_capacity 210432 (411 SLAB blocks): ~1.3x headroom over this
+    # scene's measured slab occupancy (162k padded rows at tile 32) — the
+    # production-tuning knob that bounds slab gather size and rasterizer
+    # grid length (vs the 614k safe-auto default).
     cfg = TrackerConfig(
         max_iters=N_ITERS, convergence_threshold=0.0, opacity_threshold=0.5,
+        entry_capacity=210432,
     )
 
     # NOTE: a concrete scalar readback (not just block_until_ready) is used

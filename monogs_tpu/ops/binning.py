@@ -2,7 +2,7 @@
 
 TPU-native counterpart of the CUDA rasterizer's duplicate-with-keys +
 radix-sort + tile-range stage. Instead of dynamic per-tile lists we build a
-static-capacity (num_tiles, K) index matrix:
+static-capacity *slab* layout:
 
   1. each visible Gaussian covers a rectangle of tiles; it is duplicated into
      up to MAX_DUP (tile, depth, idx) entries (static-shape padding),
@@ -10,18 +10,28 @@ static-capacity (num_tiles, K) index matrix:
      the key packs [tile_id | top bits of the IEEE-754 depth], exploiting
      that positive-float bit patterns are monotonic (same trick as the CUDA
      64-bit tile|depth keys, at 2^-11 relative depth resolution),
-  3. searchsorted finds each tile's segment; a gather builds the padded
-     (T, K) matrix with sentinel index N for empty slots.
+  3. the sorted entries are laid out as contiguous per-tile segments, each
+     padded up to a multiple of SLAB (the rasterizer's grid-step width):
+     tile t owns slab positions starting at pstart_blk[t]*SLAB, and
+     `owner_blk` maps each SLAB-block back to its tile (the rasterizer's
+     grid runs over blocks, selecting its output row by owner). `gauss_of_pos`
+     gives the Gaussian id at each slab position (sentinel N for padding),
+     so rasterizer work and DMA are proportional to real occupancy — there
+     is no dense (T, K, 16) feature matrix anywhere.
 
-The index matrix carries no gradients (indices are ints); gradients flow
-through the *gather* of Gaussian features by these indices. To avoid XLA's
-slow scatter-add in the gather's transpose, binning also emits
-`slot_of_entry`: for every duplicated entry (gaussian i, dup d) the linear
-(tile, slot) position that holds it (or a sentinel). The gather backward is
-then a dense gather + per-Gaussian reduction (see tile_raster.gather_feats).
+The slab carries no gradients (indices are ints); gradients flow through the
+*gather* of Gaussian features into slab order. To avoid XLA's slow
+scatter-add in the gather's transpose, binning also emits `pos_of_entry`:
+for every duplicated entry (gaussian i, dup d) its slab position (or a
+sentinel). The gather backward is then a dense row gather + per-Gaussian
+reduction over the duplicate axis (see tile_raster.gather_pos).
 
-Capacity overflow (per-Gaussian duplicate count > max_dup or per-tile count
-> K) is reported via the returned `overflow` diagnostics.
+`index_matrix` (T, K) is kept for the n_touched scatter (per-Gaussian
+visibility counts) — it is int32-only and reused across iterations.
+
+Capacity overflow (per-Gaussian duplicate count > max_dup, per-tile count
+> tile_capacity, or total padded entries > entry_capacity) is reported via
+the returned `overflow` diagnostics.
 """
 
 from __future__ import annotations
@@ -32,19 +42,43 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-DEPTH_BITS = 20  # key bits for depth (below the tile id)
+import os
+
+DEPTH_BITS = 20   # key bits for depth (below the tile id)
+CHUNK = 128       # compositing inner width (lane width)
+# CHUNKs per rasterizer grid step (env override is a tuning hook for perf
+# sweeps; the default balances grid-step overhead against per-tile padding).
+BLOCK_CHUNKS = int(os.environ.get("MONOGS_BLOCK_CHUNKS", "4"))
+SLAB = BLOCK_CHUNKS * CHUNK  # slab segment alignment (rows per grid step)
 
 
 class TileBins(NamedTuple):
     index_matrix: jnp.ndarray   # (T, K) int32, sentinel = N for empty
     counts: jnp.ndarray         # (T,) int32 actual entries per tile (capped)
-    slot_of_entry: jnp.ndarray  # (N*max_dup,) int32 linear t*K+k or T*K
-    overflow: jnp.ndarray       # () int32: dropped entries (dup + tile caps)
+    pstart_blk: jnp.ndarray     # (T,) int32 first SLAB-block of tile's slab
+    owner_blk: jnp.ndarray      # (entry_capacity/SLAB,) int32 owning tile per
+                                #   SLAB-block; sentinel T past the occupancy
+    seg_first: jnp.ndarray      # (entry_capacity/SLAB,) int32 1 where a block
+                                #   starts a new owner (output-row boundary)
+    gauss_of_pos: jnp.ndarray   # (entry_capacity,) int32 gaussian id per slab
+                                #   position; sentinel N on padding
+    pos_of_entry: jnp.ndarray   # (N*max_dup,) int32 slab position or sentinel
+                                #   entry_capacity
+    overflow: jnp.ndarray       # () int32: dropped entries (all caps)
+
+
+def auto_entry_capacity(n: int, max_dup: int, num_tiles: int,
+                        tile_capacity: int) -> int:
+    """Smallest safe (no-drop) slab capacity, SLAB-rounded."""
+    k_pad = -(-tile_capacity // SLAB) * SLAB
+    worst = min(n * max_dup + num_tiles * (SLAB - 1), num_tiles * k_pad)
+    return -(-worst // SLAB) * SLAB
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("img_w", "img_h", "tile_size", "tile_capacity", "max_dup"),
+    static_argnames=("img_w", "img_h", "tile_size", "tile_capacity",
+                     "max_dup", "entry_capacity"),
 )
 def tile_bin(
     mean2d: jnp.ndarray,   # (N,2) pixel coords
@@ -56,12 +90,20 @@ def tile_bin(
     tile_size: int = 16,
     tile_capacity: int = 512,
     max_dup: int = 16,
+    entry_capacity: int | None = None,
 ) -> TileBins:
     N = mean2d.shape[0]
     tiles_x = -(-img_w // tile_size)
     tiles_y = -(-img_h // tile_size)
     T = tiles_x * tiles_y
+    K = tile_capacity
     assert T < (1 << (31 - DEPTH_BITS)), "too many tiles for the packed key"
+    assert K % CHUNK == 0, "tile_capacity must be a multiple of CHUNK"
+    if entry_capacity is None:
+        entry_capacity = auto_entry_capacity(N, max_dup, T, K)
+    assert entry_capacity % SLAB == 0 and entry_capacity >= SLAB
+    P_cap = entry_capacity
+    EB = P_cap // SLAB               # grid blocks
 
     mean2d = jax.lax.stop_gradient(mean2d)
     radius = jax.lax.stop_gradient(radius)
@@ -106,36 +148,67 @@ def tile_bin(
     )
     sort_tile = sort_key >> DEPTH_BITS
 
-    # Per-tile segments.
+    # Per-tile segments of the sorted entry list.
     starts = jnp.searchsorted(sort_tile, jnp.arange(T + 1, dtype=jnp.int32))
     seg_counts = starts[1:] - starts[:-1]                      # (T,)
-    counts = jnp.minimum(seg_counts, tile_capacity).astype(jnp.int32)
+    counts = jnp.minimum(seg_counts, K).astype(jnp.int32)
 
-    k = jnp.arange(tile_capacity, dtype=jnp.int32)[None, :]    # (1,K)
-    gather_pos = starts[:-1, None] + k                         # (T,K)
-    in_range = k < counts[:, None]
-    gather_pos_safe = jnp.where(in_range, gather_pos, 0)
+    # SLAB-padded slab layout: pstart per tile (in SLAB-block units),
+    # truncated to the entry capacity (tail tiles lose entries; reported
+    # via overflow).
+    nblk0 = (counts + SLAB - 1) // SLAB                        # (T,)
+    pstart0 = jnp.cumsum(nblk0) - nblk0
+    nblk = jnp.minimum(nblk0, jnp.clip(EB - pstart0, 0, None))
+    counts_eff = jnp.minimum(counts, nblk * SLAB).astype(jnp.int32)
+    cum = jnp.cumsum(nblk)                                     # inclusive
+    pstart_blk = (cum - nblk).astype(jnp.int32)
+
+    # (T, K) index matrix (int32 only; used for n_touched aggregation).
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]                # (1,K)
+    gather_pos_tk = starts[:-1, None] + k                      # (T,K)
+    in_range = k < counts_eff[:, None]
     index_matrix = jnp.where(
-        in_range, sort_idx[gather_pos_safe], N
+        in_range, sort_idx[jnp.where(in_range, gather_pos_tk, 0)], N
     ).astype(jnp.int32)
 
-    # Inverse mapping entry -> (tile, slot). The slot of sorted position j
-    # is analytic — j minus its tile's segment start, capped by capacity —
-    # so only one unique-index scatter (the un-permutation) is needed.
-    K = tile_capacity
+    # gauss_of_pos: owner tile per block (tiny searchsorted over blocks),
+    # then per-position gaussian id via gathers — no scatter needed.
+    b = jnp.arange(EB, dtype=jnp.int32)
+    owner_blk = jnp.searchsorted(cum, b, side="right").astype(jnp.int32)
+    seg_first = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (owner_blk[1:] != owner_blk[:-1]).astype(jnp.int32)]
+    )                                                          # (EB,)
+    p = jnp.arange(EB * SLAB, dtype=jnp.int32)
+    t_p = owner_blk[p // SLAB]
+    t_ps = jnp.minimum(t_p, T - 1)
+    k_p = p - pstart_blk[t_ps] * SLAB
+    ok_p = (t_p < T) & (k_p < counts_eff[t_ps])
+    j_p = jnp.clip(starts[t_ps] + k_p, 0, E - 1)
+    gauss_of_pos = jnp.where(ok_p, sort_idx[j_p], N).astype(jnp.int32)
+
+    # Inverse map entry -> slab position: the slab position of sorted entry
+    # j is analytic (segment-local offset + padded segment start), so only
+    # one unique-index scatter (the un-permutation) is needed.
     j = jnp.arange(E, dtype=jnp.int32)
     t_j = jnp.minimum(sort_tile, T)                            # sentinel -> T
-    k_j = j - starts[t_j]
-    slot_sorted = jnp.where(
-        (t_j < T) & (k_j < K), t_j * K + k_j, T * K
+    t_js = jnp.minimum(t_j, T - 1)
+    k_j = j - starts[t_js]
+    pos_sorted = jnp.where(
+        (t_j < T) & (k_j < counts_eff[t_js]),
+        pstart_blk[t_js] * SLAB + k_j, P_cap
     ).astype(jnp.int32)
-    slot_of_entry = jnp.full((E,), T * K, jnp.int32).at[sort_entry].set(
-        slot_sorted, unique_indices=True
+    pos_of_entry = jnp.full((E,), P_cap, jnp.int32).at[sort_entry].set(
+        pos_sorted, unique_indices=True
     )
 
-    overflow = jnp.sum(jnp.maximum(n_cover - max_dup, 0)) + jnp.sum(
-        jnp.maximum(seg_counts - tile_capacity, 0)
+    overflow = (
+        jnp.sum(jnp.maximum(n_cover - max_dup, 0))
+        + jnp.sum(jnp.maximum(seg_counts - K, 0))
+        + jnp.sum(counts - counts_eff)
     )
-    return TileBins(index_matrix=index_matrix, counts=counts,
-                    slot_of_entry=slot_of_entry,
+    return TileBins(index_matrix=index_matrix, counts=counts_eff,
+                    pstart_blk=pstart_blk, owner_blk=owner_blk,
+                    seg_first=seg_first,
+                    gauss_of_pos=gauss_of_pos, pos_of_entry=pos_of_entry,
                     overflow=overflow.astype(jnp.int32))

@@ -9,11 +9,11 @@ replacing the reference's retain_grad dummy tensor
 
 Pipeline (single jittable graph):
   project_gaussians (autodiff, incl. pose delta)  ->  tile_bin (int indices)
-  ->  feature gather  ->  composite_tiles (Pallas custom-VJP)  ->  assemble.
-Gradients w.r.t. Gaussian params flow through the gather's custom backward
-(inverse-permutation row gather + duplicate-axis reduction,
-tile_raster.gather_feats); gradients w.r.t. (rho, theta) flow through
-projection.
+  ->  slab feature gather  ->  composite_slab (Pallas custom-VJP)  ->
+  assemble. Gradients w.r.t. Gaussian params flow through the gather's
+  custom backward (inverse-permutation row gather + duplicate-axis
+  reduction, tile_raster.gather_pos); gradients w.r.t. (rho, theta) flow
+  through projection.
 """
 
 from __future__ import annotations
@@ -23,14 +23,16 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .binning import tile_bin
+from .binning import SLAB, tile_bin
 from .graphics import Intrinsics
 from .projection import ProjectedGaussians, project_gaussians
 from .tile_raster import (
     RasterConfig,
-    composite_tiles,
+    composite_slab,
+    composite_tiles_ref,
     make_raster_config,
     pack_features,
+    pack_features_slab,
 )
 
 
@@ -60,6 +62,7 @@ def render_projected(
     bg: jnp.ndarray | None = None,
     tile_capacity: int = 512,
     max_dup: int = 16,
+    entry_capacity: int | None = None,
     backend: str = "pallas",
     mean2d_dummy: jnp.ndarray | None = None,
     bins=None,
@@ -79,17 +82,25 @@ def render_projected(
             mean2d, proj.radius, proj.depth, proj.valid,
             img_w=cfg.img_w, img_h=cfg.img_h, tile_size=cfg.tile_size,
             tile_capacity=tile_capacity, max_dup=max_dup,
+            entry_capacity=entry_capacity,
         )
 
     opacity = jnp.where(proj.valid, proj.opacity, 0.0)
-    feats = pack_features(
-        mean2d, proj.conic, opacity, proj.rgb, proj.depth, bins.index_matrix,
-        slot_of_entry=bins.slot_of_entry,
-    )                                               # (T, K, 16)
-
-    out, touched = composite_tiles(
-        feats, cfg, counts=bins.counts, backend=backend
-    )
+    if backend == "ref":
+        feats = pack_features(
+            mean2d, proj.conic, opacity, proj.rgb, proj.depth,
+            bins.index_matrix,
+        )                                           # (T, K, 16)
+        out, touched = composite_tiles_ref(feats, cfg)
+    else:
+        feats_pos = pack_features_slab(
+            mean2d, proj.conic, opacity, proj.rgb, proj.depth,
+            bins.gauss_of_pos, bins.pos_of_entry,
+        )                                           # (16, E_cap)
+        out, touched = composite_slab(
+            feats_pos[None], bins.owner_blk, bins.seg_first, bins.pstart_blk,
+            bins.counts, cfg, tile_capacity,
+        )
 
     img = _assemble_image(out, cfg)                 # (H, W, 8)
     alpha = img[:, :, 4]
@@ -139,6 +150,7 @@ def render_window(
     tile_size: int = 16,
     tile_capacity: int = 512,
     max_dup: int = 16,
+    entry_capacity: int | None = None,
     backend: str = "pallas",
     mean2d_dummy: jnp.ndarray | None = None,  # (W, N, 2) per-kf screen hook
     bins=None,   # optional vmapped TileBins (leading window axis)
@@ -171,30 +183,55 @@ def render_window(
                 mean2d, proj.radius, proj.depth, proj.valid,
                 img_w=cfg.img_w, img_h=cfg.img_h, tile_size=cfg.tile_size,
                 tile_capacity=tile_capacity, max_dup=max_dup,
+                entry_capacity=entry_capacity,
             )
         opa = jnp.where(proj.valid, proj.opacity, 0.0)
-        feats = pack_features(
-            mean2d, proj.conic, opa, proj.rgb, proj.depth,
-            bins_kf.index_matrix, slot_of_entry=bins_kf.slot_of_entry,
-        )                                           # (T, K, 16)
-        return (feats, bins_kf.index_matrix, bins_kf.counts, proj.radius,
-                bins_kf.overflow)
+        if backend == "ref":
+            feats = pack_features(
+                mean2d, proj.conic, opa, proj.rgb, proj.depth,
+                bins_kf.index_matrix,
+            )                                       # (T, K, 16)
+        else:
+            feats = pack_features_slab(
+                mean2d, proj.conic, opa, proj.rgb, proj.depth,
+                bins_kf.gauss_of_pos, bins_kf.pos_of_entry,
+            )                                       # (16, E_cap)
+        return (feats, bins_kf.index_matrix, bins_kf.pstart_blk,
+                bins_kf.owner_blk, bins_kf.seg_first, bins_kf.counts,
+                proj.radius, bins_kf.overflow)
 
     if bins is None:
-        feats, idx_mats, counts, radii, overflows = jax.vmap(
+        (feats, idx_mats, pstarts, owners, firsts, counts, radii,
+         overflows) = jax.vmap(
             lambda R, t, rho, theta, dummy: per_kf(R, t, rho, theta, dummy,
                                                    None)
         )(Rs, ts, rhos, thetas, mean2d_dummy)
     else:
-        feats, idx_mats, counts, radii, overflows = jax.vmap(per_kf)(
+        (feats, idx_mats, pstarts, owners, firsts, counts, radii,
+         overflows) = jax.vmap(per_kf)(
             Rs, ts, rhos, thetas, mean2d_dummy, bins
-        )                                           # (W,T,16,K), (W,T,K), ...
+        )
 
-    T, K = feats.shape[1], feats.shape[2]
-    feats_all = feats.reshape(Wn * T, K, feats.shape[3])
-    out, touched = composite_tiles(
-        feats_all, cfg, counts=counts.reshape(Wn * T), backend=backend
-    )
+    T = idx_mats.shape[1]
+    K = idx_mats.shape[2]
+    if backend == "ref":
+        out, touched = composite_tiles_ref(
+            feats.reshape(Wn * T, K, feats.shape[-1]), cfg
+        )
+    else:
+        # Concatenate each keyframe's slab (feats is already the kernel's
+        # (n_img, 16, E_cap) layout); block/tile ids become global.
+        E_cap = feats.shape[2]
+        eb_img = E_cap // SLAB
+        img = jnp.arange(Wn, dtype=jnp.int32)[:, None]
+        pstart_g = (pstarts + img * eb_img).reshape(-1)
+        owner_g = jnp.where(
+            owners < T, owners + img * T, Wn * T
+        ).reshape(-1)
+        out, touched = composite_slab(
+            feats, owner_g, firsts.reshape(-1), pstart_g,
+            counts.reshape(-1), cfg, tile_capacity,
+        )
 
     imgs = jax.vmap(lambda o: _assemble_image(o, cfg))(
         out.reshape(Wn, T, cfg.pixels, 8)
@@ -234,6 +271,7 @@ def render(
     tile_size: int = 16,
     tile_capacity: int = 512,
     max_dup: int = 16,
+    entry_capacity: int | None = None,
     backend: str = "pallas",
     mean2d_dummy: jnp.ndarray | None = None,
     bins=None,
@@ -255,5 +293,6 @@ def render(
     )
     return render_projected(
         proj, cfg, bg=bg, tile_capacity=tile_capacity, max_dup=max_dup,
-        backend=backend, mean2d_dummy=mean2d_dummy, bins=bins,
+        entry_capacity=entry_capacity, backend=backend,
+        mean2d_dummy=mean2d_dummy, bins=bins,
     )

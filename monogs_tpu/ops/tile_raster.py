@@ -3,25 +3,35 @@
 TPU-native replacement for the CUDA `diff-gaussian-rasterization-w-pose`
 render/backward kernels (contract documented at reference
 gaussian_splatting/gaussian_renderer/__init__.py:130-168). The differentiable
-boundary is `composite_tiles(feats)` where `feats` are per-(tile, slot)
-gathered 2D Gaussian features; gradients w.r.t. 3D parameters AND camera pose
-flow by JAX autodiff through the projection stage + gather that produce
-`feats` (see ops/projection.py, ops/render.py).
+boundary is `composite_slab(feats_pos)` where `feats_pos` are per-slab-
+position gathered 2D Gaussian features; gradients w.r.t. 3D parameters AND
+camera pose flow by JAX autodiff through the projection stage + gather that
+produce `feats_pos` (see ops/projection.py, ops/render.py).
 
-Feature layout: `feats` is (T, K, 16) — row-major per slot so the feature
-gather (and its transpose) moves contiguous 64-byte rows; kernels transpose
-each (CHUNK, 16) slab to (16, CHUNK) in VMEM. Feature channels (last axis;
-10 used, 6 spare to meet the TPU divisibility rule):
+Slab layout (see ops/binning.py): sorted entries live in ONE (entry_capacity,
+16) array as contiguous, SLAB-aligned per-tile segments. The kernel grid is
+ONE dimension — the slab's SLAB-row blocks — so grid steps, compute, and DMA
+are all proportional to real occupancy (≈ sum of per-tile entry counts), not
+to the T*K capacity. The feats input streams with an identity index map (a
+perfectly pipelined sequential scan); the OUTPUT row is selected per block by
+the prefetched `owner_blk` tile id (blocks of one tile are consecutive, so
+Pallas's revisiting pipeline accumulates the tile's output in VMEM and writes
+it back once, when the owner changes). Each grid step runs an inner
+BLOCK_CHUNKS-iteration loop over CHUNK-wide slots, bounded by the tile's
+remaining live chunks.
+Feature channels (last axis; 10 used, 6 spare for the divisibility rule):
     0: u (pixel x of 2D mean)   5: opacity (activated, 0 for padding)
     1: v                        6,7,8: r, g, b
     2: conic_a                  9: depth
     3: conic_b
     4: conic_c
+Padding positions carry the sentinel Gaussian (all-zero features), whose
+opacity 0 makes them exact no-ops in the compositing math.
 
 Outputs: `out` (T, P, 8) with columns [r, g, b, depth, alpha, 0, 0, 0] per
 tile pixel (P = tile_size**2, row-major in tile), and `touched` (T, K) int32
-pixel counts per slot (the n_touched visibility signal, reference
-slam_tracker.py:414).
+pixel counts per within-tile slot (the n_touched visibility signal,
+reference slam_tracker.py:414).
 
 Compositing math (per pixel, slots depth-sorted front-to-back):
     power_k = -0.5 (a dx^2 + 2 b dx dy + c dy^2),  dx = x - u
@@ -34,10 +44,13 @@ changes results below fp32 noise. The backward uses the suffix-sum identity
     dL/dalpha_k = T_k g_k - S_k / (1 - alpha_k),  S_k = sum_{j>k} w_j g_j
 with prefix sums realized as triangular-matrix matmuls on the MXU, and
 reduces dL/dpower against the pixel quadratic basis (one more MXU matmul)
-into closed-form per-slot gradients for (u, v, conic).
+into closed-form per-slot gradients for (u, v, conic). The backward's
+dfeats output is identity-blocked like the input: every slab block writes
+its own rows exactly once (padding rows zero).
 
 Tile indices wrap modulo cfg.num_tiles so several images' tiles can be
-concatenated along the grid axis (batched keyframe-window rendering).
+concatenated along the grid axis (batched keyframe-window rendering); each
+image contributes entry_capacity slab rows.
 All within-tile coordinates are tile-local to keep the quadratic forms
 well-conditioned in fp32.
 """
@@ -53,10 +66,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .binning import BLOCK_CHUNKS, CHUNK as _BCHUNK, SLAB  # noqa: E402
+
 ALPHA_EPS = 1.0 / 255.0
 ALPHA_MAX = 0.99
 TOUCH_T_MIN = 1e-4          # transmittance floor for the n_touched signal
-CHUNK = 128                 # slots processed per inner step (lane width)
+CHUNK = _BCHUNK             # slots processed per inner step (lane width)
 LOG_SKIP = -16.0            # skip chunks once max log-transmittance < this
 FEAT_ROWS = 16              # sublane-padded feature rows (10 used)
 
@@ -153,7 +168,7 @@ def composite_tiles_ref(feats: jnp.ndarray, cfg: RasterConfig):
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernels.
+# Pallas kernels (slab layout).
 # ---------------------------------------------------------------------------
 
 
@@ -179,17 +194,12 @@ def _tri_matrices():
     return strict, incl
 
 
-def _tile_origin(cfg: RasterConfig):
-    t = jax.lax.rem(pl.program_id(0), cfg.num_tiles)  # wrap for batched images
-    ox = (jax.lax.rem(t, cfg.tiles_x) * cfg.tile_size).astype(jnp.float32)
-    oy = (jax.lax.div(t, cfg.tiles_x) * cfg.tile_size).astype(jnp.float32)
+def _tile_origin_of(t, cfg: RasterConfig):
+    """Pixel origin of (possibly batched-image-wrapped) tile id `t`."""
+    tl = jax.lax.rem(t, cfg.num_tiles)       # wrap for batched images
+    ox = (jax.lax.rem(tl, cfg.tiles_x) * cfg.tile_size).astype(jnp.float32)
+    oy = (jax.lax.div(tl, cfg.tiles_x) * cfg.tile_size).astype(jnp.float32)
     return ox, oy
-
-
-def _chunk_feats(feats_ref, ck):
-    """Load one (CHUNK, 16) slab and transpose to channel-major (16, CHUNK)."""
-    sl = pl.ds(ck * CHUNK, CHUNK)
-    return feats_ref[0, sl, :].T             # (16, CHUNK)
 
 
 def _chunk_alpha(tf, ox, oy, x, y):
@@ -211,26 +221,39 @@ def _chunk_alpha(tf, ox, oy, x, y):
     return u, v, a, b, c, opa, expp, alpha_raw, ok, alpha
 
 
-def _fwd_kernel(counts_ref, feats_ref, out_ref, touched_ref, *,
-                cfg: RasterConfig, K: int):
+def _block_extent(b, owner_ref, pstart_ref, counts_ref):
+    """Owning tile id, first within-tile chunk index, and live-chunk count
+    of slab block `b` (counts is padded so the sentinel tile reads 0)."""
+    t = owner_ref[b]
+    base = (b - pstart_ref[t]) * BLOCK_CHUNKS
+    nct = (counts_ref[t] + CHUNK - 1) // CHUNK
+    nc = jnp.clip(nct - base, 0, BLOCK_CHUNKS)
+    return t, base, nc
+
+
+def _slab_fwd_kernel(owner_ref, first_ref, pstart_ref, counts_ref,
+                     feats_ref, out_ref, touched_ref, logT_ref, *,
+                     cfg: RasterConfig, K: int):
     P = cfg.pixels
-    ox, oy = _tile_origin(cfg)
+    b = pl.program_id(0)
+    t, base, nc = _block_extent(b, owner_ref, pstart_ref, counts_ref)
+    ox, oy = _tile_origin_of(t, cfg)
     x, y, _ = _pix_basis(cfg)
     strict, _ = _tri_matrices()
     pix_valid = ((ox + x - 0.5) < cfg.img_w) & ((oy + y - 0.5) < cfg.img_h)
 
-    # Only the occupied prefix of the slot axis does work (per-tile counts
-    # arrive via scalar prefetch); outputs are zero-initialized first.
-    touched_ref[0] = jnp.zeros((8, K), jnp.int32)
-    count = counts_ref[pl.program_id(0)]
-    n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, K // CHUNK)
+    @pl.when(first_ref[b] == 1)
+    def _init():
+        out_ref[0] = jnp.zeros((8, P), jnp.float32)
+        touched_ref[0] = jnp.zeros((8, K), jnp.int32)
+        logT_ref[...] = jnp.zeros((P, 1), jnp.float32)
 
-    def body(ck, carry):
-        logT, acc = carry                     # (P,1), (P,8)
+    def body(j, carry):
+        logT, acc = carry                     # (P,1), (8,P)
 
         def live(carry):
             logT, acc = carry
-            tf = _chunk_feats(feats_ref, ck)
+            tf = feats_ref[0, :, pl.ds(j * CHUNK, CHUNK)]  # (16, CHUNK)
             _, _, _, _, _, _, _, _, ok, alpha = _chunk_alpha(tf, ox, oy, x, y)
             log1m = jnp.log1p(-alpha)
             excl = jax.lax.dot_general(
@@ -239,7 +262,6 @@ def _fwd_kernel(counts_ref, feats_ref, out_ref, touched_ref, *,
             )
             Tk = jnp.exp(logT + excl)
             w = alpha * Tk
-            sl = pl.ds(ck * CHUNK, CHUNK)
             colors_t = jnp.concatenate(
                 [
                     tf[6:10, :],                          # r, g, b, depth
@@ -249,51 +271,60 @@ def _fwd_kernel(counts_ref, feats_ref, out_ref, touched_ref, *,
                 axis=0,
             )                                 # (8, CHUNK)
             acc = acc + jax.lax.dot_general(
-                w, colors_t, (((1,), (1,)), ((), ())),
+                colors_t, w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            )                                 # (8, P)
             cnt = jnp.sum(
                 (ok & (Tk > TOUCH_T_MIN) & pix_valid).astype(jnp.int32),
                 axis=0, keepdims=True,
             )                                 # (1, CHUNK)
-            touched_ref[0, 0:1, sl] = cnt
+            touched_ref[0, 0:1, pl.ds((base + j) * CHUNK, CHUNK)] = cnt
             logT = logT + jnp.sum(log1m, axis=1, keepdims=True)
             return logT, acc
 
-        # Outputs are pre-zeroed; a saturated tile skips the remaining work.
+        # A saturated tile skips the remaining compute.
         return jax.lax.cond(
             jnp.max(logT) > LOG_SKIP, live, lambda c: c, carry
         )
 
-    logT0 = jnp.zeros((P, 1), jnp.float32)
-    acc0 = jnp.zeros((P, 8), jnp.float32)
-    _, acc = jax.lax.fori_loop(0, n_chunks, body, (logT0, acc0))
-    out_ref[0] = acc
+    logT0 = logT_ref[...]
+    acc0 = jnp.zeros((8, P), jnp.float32)
+    logT, acc = jax.lax.fori_loop(0, nc, body, (logT0, acc0))
+    out_ref[0] = out_ref[0] + acc
+    logT_ref[...] = logT
 
 
-def _bwd_kernel(counts_ref, feats_ref, baux_ref, dfeats_ref, *,
-                cfg: RasterConfig, K: int):
-    """baux: (1, P, 8) columns [g_r, g_g, g_b, g_depth, g_alpha, A, 0, 0]
+def _slab_bwd_kernel(owner_ref, first_ref, pstart_ref, counts_ref,
+                     feats_ref, baux_ref, dfeats_ref, logT_ref, wg_ref, *,
+                     cfg: RasterConfig, K: int):
+    """baux: (1, 8, P) rows [g_r, g_g, g_b, g_depth, g_alpha, A, 0, 0]
     where A = per-pixel total sum_j w_j g_j (precomputed outside)."""
-    ox, oy = _tile_origin(cfg)
+    P = cfg.pixels
+    b = pl.program_id(0)
+    t, base, nc = _block_extent(b, owner_ref, pstart_ref, counts_ref)
+    ox, oy = _tile_origin_of(t, cfg)
     x, y, basis = _pix_basis(cfg)
     strict, incl = _tri_matrices()
 
-    gvec = baux_ref[0, :, 0:5]                # (P, 5)
-    A = baux_ref[0, :, 5:6]                   # (P, 1)
+    @pl.when(first_ref[b] == 1)
+    def _init():
+        logT_ref[...] = jnp.zeros((P, 1), jnp.float32)
+        wg_ref[...] = jnp.zeros((P, 1), jnp.float32)
 
-    dfeats_ref[0] = jnp.zeros((K, FEAT_ROWS), jnp.float32)
-    count = counts_ref[pl.program_id(0)]
-    n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, K // CHUNK)
+    # Every block writes its own output rows exactly once; padding rows
+    # (including entire dead blocks) stay zero.
+    dfeats_ref[...] = jnp.zeros((1, FEAT_ROWS, SLAB), jnp.float32)
 
-    def body(ck, carry):
+    gvec = baux_ref[0, 0:5, :]                # (5, P)
+    A = baux_ref[0, 5:6, :].T                 # (P, 1)
+
+    def body(j, carry):
         logT, wg_pref = carry                 # (P,1), (P,1)
-        sl = pl.ds(ck * CHUNK, CHUNK)
 
         def live(carry):
             logT, wg_pref = carry
-            tf = _chunk_feats(feats_ref, ck)
-            u, v, a, b, c, opa, expp, alpha_raw, ok, alpha = _chunk_alpha(
+            tf = feats_ref[0, :, pl.ds(j * CHUNK, CHUNK)]  # (16, CHUNK)
+            u, v, a, bb, c, opa, expp, alpha_raw, ok, alpha = _chunk_alpha(
                 tf, ox, oy, x, y
             )
             log1m = jnp.log1p(-alpha)
@@ -310,7 +341,7 @@ def _bwd_kernel(counts_ref, feats_ref, baux_ref, dfeats_ref, *,
                 axis=0,
             )                                 # (5, CHUNK)
             g = jax.lax.dot_general(
-                gvec, props, (((1,), (0,)), ((), ())),
+                gvec, props, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                 # (P, CHUNK)
             wg = w * g
@@ -326,7 +357,7 @@ def _bwd_kernel(counts_ref, feats_ref, baux_ref, dfeats_ref, *,
 
             # d color/depth (+ unused alpha column): sum_p w * g -> (5, CHUNK).
             dprops = jax.lax.dot_general(
-                gvec, w, (((0,), (0,)), ((), ())),
+                gvec, w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                 # (5, CHUNK)
 
@@ -339,8 +370,8 @@ def _bwd_kernel(counts_ref, feats_ref, baux_ref, dfeats_ref, *,
             Rxx, Rxy, Ryy = m[0:1], m[1:2], m[2:3]
             Rx, Ry, R0 = m[3:4], m[4:5], m[5:6]
             # power = -0.5(a dx^2 + 2b dx dy + c dy^2), dx = x - u (tile-local)
-            du = a * (Rx - u * R0) + b * (Ry - v * R0)
-            dv = b * (Rx - u * R0) + c * (Ry - v * R0)
+            du = a * (Rx - u * R0) + bb * (Ry - v * R0)
+            dv = bb * (Rx - u * R0) + c * (Ry - v * R0)
             da = -0.5 * (Rxx - 2.0 * u * Rx + u * u * R0)
             db = -(Rxy - u * Ry - v * Rx + u * v * R0)
             dc = -0.5 * (Ryy - 2.0 * v * Ry + v * v * R0)
@@ -350,76 +381,112 @@ def _bwd_kernel(counts_ref, feats_ref, baux_ref, dfeats_ref, *,
                  jnp.zeros((6, CHUNK), jnp.float32)],
                 axis=0,
             )                                 # (16, CHUNK)
-            dfeats_ref[0, sl, :] = d16.T      # back to row-major (CHUNK, 16)
+            dfeats_ref[0, :, pl.ds(j * CHUNK, CHUNK)] = d16
 
             logT = logT + jnp.sum(log1m, axis=1, keepdims=True)
             wg_pref = wg_pref + jnp.sum(wg, axis=1, keepdims=True)
             return logT, wg_pref
 
-        # Outputs are pre-zeroed; a saturated tile skips the remaining work.
+        # A saturated tile skips the remaining compute.
         return jax.lax.cond(
             jnp.max(logT) > LOG_SKIP, live, lambda c: c, carry
         )
 
-    logT0 = jnp.zeros((cfg.pixels, 1), jnp.float32)
-    wg0 = jnp.zeros((cfg.pixels, 1), jnp.float32)
-    jax.lax.fori_loop(0, n_chunks, body, (logT0, wg0))
+    logT, wg_pref = jax.lax.fori_loop(0, nc, body, (logT_ref[...], wg_ref[...]))
+    logT_ref[...] = logT
+    wg_ref[...] = wg_pref
 
 
-def _fwd_pallas(feats: jnp.ndarray, counts: jnp.ndarray, cfg: RasterConfig):
-    T, K = feats.shape[0], feats.shape[1]
+def _pad_tile_scalars(pstart_blk, counts):
+    """Append the sentinel tile row (pstart 0, count 0) so owner==T_total
+    reads resolve to zero live chunks."""
+    z = jnp.zeros((1,), jnp.int32)
+    return (jnp.concatenate([pstart_blk.astype(jnp.int32), z]),
+            jnp.concatenate([counts.astype(jnp.int32), z]))
+
+
+def _fwd_slab(feats_cm, owner_blk, seg_first, pstart_blk, counts,
+              cfg: RasterConfig, K: int):
+    Tt = pstart_blk.shape[0]
     P = cfg.pixels
-    kern = functools.partial(_fwd_kernel, cfg=cfg, K=K)
+    n_img, _, E_cap = feats_cm.shape
+    eb_img = E_cap // SLAB
+    EB = n_img * eb_img
+    pstart_p, counts_p = _pad_tile_scalars(pstart_blk, counts)
+    kern = functools.partial(_slab_fwd_kernel, cfg=cfg, K=K)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T,),
+        num_scalar_prefetch=4,
+        grid=(EB,),
         in_specs=[
-            pl.BlockSpec((1, K, FEAT_ROWS), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, FEAT_ROWS, SLAB),
+                         lambda b, *_: (b // eb_img, 0, b % eb_img),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, 8, P), lambda b, owner, *_: (owner[b], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, K), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, 8, K), lambda b, owner, *_: (owner[b], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[pltpu.VMEM((P, 1), jnp.float32)],
     )
     out, touched8 = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, P, 8), jnp.float32),
-            jax.ShapeDtypeStruct((T, 8, K), jnp.int32),
+            jax.ShapeDtypeStruct((Tt + 1, 8, P), jnp.float32),
+            jax.ShapeDtypeStruct((Tt + 1, 8, K), jnp.int32),
         ],
         interpret=_interpret_mode(),
-    )(counts, feats)
-    return out, touched8[:, 0, :]
+    )(owner_blk, seg_first, pstart_p, counts_p, feats_cm)
+    # Rows of empty tiles were never visited: mask them to zero (jnp.where,
+    # not multiply, so uninitialized NaN patterns cannot leak through).
+    nonempty = counts > 0
+    out = jnp.where(nonempty[:, None, None], out[:Tt], 0.0)
+    out = out.transpose(0, 2, 1)              # (Tt, P, 8)
+    touched = jnp.where(nonempty[:, None], touched8[:Tt, 0, :], 0)
+    return out, touched
 
 
-def _bwd_pallas(feats: jnp.ndarray, counts: jnp.ndarray, baux: jnp.ndarray,
-                cfg: RasterConfig):
-    T, K = feats.shape[0], feats.shape[1]
+def _bwd_slab(feats_cm, owner_blk, seg_first, pstart_blk, counts, baux,
+              cfg: RasterConfig, K: int):
+    Tt = pstart_blk.shape[0]
     P = cfg.pixels
-    kern = functools.partial(_bwd_kernel, cfg=cfg, K=K)
+    n_img, _, E_cap = feats_cm.shape
+    eb_img = E_cap // SLAB
+    EB = n_img * eb_img
+    pstart_p, counts_p = _pad_tile_scalars(pstart_blk, counts)
+    kern = functools.partial(_slab_bwd_kernel, cfg=cfg, K=K)
+
+    def baux_index_map(b, owner, *_):
+        return (jnp.minimum(owner[b], Tt - 1), 0, 0)
+
+    def slab_index_map(b, *_):
+        return (b // eb_img, 0, b % eb_img)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T,),
+        num_scalar_prefetch=4,
+        grid=(EB,),
         in_specs=[
-            pl.BlockSpec((1, K, FEAT_ROWS), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, FEAT_ROWS, SLAB), slab_index_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, 8, P), baux_index_map,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, K, FEAT_ROWS), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, FEAT_ROWS, SLAB), slab_index_map,
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+        ],
     )
-    dfeats = pl.pallas_call(
+    dfeats_cm = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, K, FEAT_ROWS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(feats_cm.shape, jnp.float32),
         interpret=_interpret_mode(),
-    )(counts, feats, baux)
-    return dfeats
+    )(owner_blk, seg_first, pstart_p, counts_p, feats_cm, baux)
+    return dfeats_cm
 
 
 def _interpret_mode() -> bool:
@@ -433,19 +500,33 @@ def _interpret_mode() -> bool:
 # --- custom_vjp wrapper -----------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def composite_tiles_pallas(feats: jnp.ndarray, counts: jnp.ndarray,
-                           cfg: RasterConfig):
-    return _fwd_pallas(feats, counts, cfg)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def composite_slab(feats_cm: jnp.ndarray, owner_blk: jnp.ndarray,
+                   seg_first: jnp.ndarray, pstart_blk: jnp.ndarray,
+                   counts: jnp.ndarray, cfg: RasterConfig,
+                   tile_capacity: int):
+    """Differentiable slab compositing.
+
+    feats_cm: (n_img, 16, entry_capacity) channel-major slab features
+    owner_blk / seg_first: (total_blocks,) per-SLAB-block owner (GLOBAL tile
+        id, sentinel T_total) and owner-boundary flags
+    pstart_blk / counts: (T_total,) per-tile block start / entry count
+    -> (out (T_total, P, 8), touched (T_total, K) int32)
+    """
+    return _fwd_slab(feats_cm, owner_blk, seg_first, pstart_blk, counts,
+                     cfg, tile_capacity)
 
 
-def _composite_fwd(feats, counts, cfg):
-    out, touched = _fwd_pallas(feats, counts, cfg)
-    return (out, touched), (feats, counts, out)
+def _composite_fwd(feats_cm, owner_blk, seg_first, pstart_blk, counts,
+                   cfg, K):
+    out, touched = _fwd_slab(feats_cm, owner_blk, seg_first, pstart_blk,
+                             counts, cfg, K)
+    return (out, touched), (feats_cm, owner_blk, seg_first, pstart_blk,
+                            counts, out)
 
 
-def _composite_bwd(cfg, res, cotangents):
-    feats, counts, out = res
+def _composite_bwd(cfg, K, res, cotangents):
+    feats_cm, owner_blk, seg_first, pstart_blk, counts, out = res
     g_out, _ = cotangents  # touched is non-differentiable
     g5 = g_out[:, :, 0:5]
     # Per-pixel total A = sum_j w_j g_j, recoverable from forward outputs:
@@ -453,83 +534,72 @@ def _composite_bwd(cfg, res, cotangents):
     A = jnp.sum(out[:, :, 0:5] * g5, axis=-1, keepdims=True)
     baux = jnp.concatenate(
         [g5, A, jnp.zeros_like(g_out[:, :, 0:2])], axis=-1
-    )
-    dfeats = _bwd_pallas(feats, counts, baux, cfg)
-    d_counts = jnp.zeros(counts.shape, jax.dtypes.float0)
-    return (dfeats, d_counts)
+    ).transpose(0, 2, 1)                      # (T, 8, P) channel-major
+    dfeats = _bwd_slab(feats_cm, owner_blk, seg_first, pstart_blk, counts,
+                       baux, cfg, K)
+    z = lambda a: jnp.zeros(a.shape, jax.dtypes.float0)
+    return (dfeats, z(owner_blk), z(seg_first), z(pstart_blk), z(counts))
 
 
-composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)
+composite_slab.defvjp(_composite_fwd, _composite_bwd)
 
 
-def composite_tiles(
-    feats: jnp.ndarray, cfg: RasterConfig, counts: jnp.ndarray | None = None,
-    backend: str = "pallas",
-):
-    """Dispatch: 'pallas' (TPU kernels; interpreted off-TPU) or 'ref'
-    (pure-JAX oracle). feats: (T, K, 16); counts: (T,) occupied slots per
-    tile (None = assume full; padded slots are zero-opacity either way)."""
-    if backend == "ref":
-        return composite_tiles_ref(feats, cfg)
-    if counts is None:
-        counts = jnp.full((feats.shape[0],), feats.shape[1], jnp.int32)
-    return composite_tiles_pallas(feats, counts, cfg)
+# --- slab feature gather -----------------------------------------------------
 
 
 @jax.custom_vjp
-def gather_feats(feats_full: jnp.ndarray, index_matrix: jnp.ndarray,
-                 slot_of_entry: jnp.ndarray) -> jnp.ndarray:
-    """(N+1, 16) features + (T, K) indices -> (T, K, 16) tile layout.
+def gather_pos(feats_full: jnp.ndarray, gauss_of_pos: jnp.ndarray,
+               pos_of_entry: jnp.ndarray) -> jnp.ndarray:
+    """(N+1, 16) features + (E_cap,) slab gaussian ids -> (16, E_cap).
 
-    Row-major everywhere: both the forward gather and the backward move
-    contiguous 64-byte rows (XLA's TPU gather of strided columns and its
-    scatter-add transpose both serialize badly — measured ~10-20ms each at
-    N=100k). The backward uses the binning's precomputed entry->(tile,slot)
-    inverse permutation: a dense row gather of per-slot gradients followed
-    by a per-Gaussian reduction over the duplicate axis.
+    The gathers move contiguous 64-byte ROWS (XLA's TPU gather of strided
+    columns and its scatter-add transpose both serialize badly — measured
+    10-20ms each at N=100k; 16 per-channel 1-D gathers measured 2-5x slower
+    than one row gather + transpose). One transpose each way converts to the
+    kernels' channel-major layout. The backward uses the binning's
+    precomputed entry->position inverse permutation: a dense row gather of
+    per-position gradients followed by a per-Gaussian reduction over the
+    duplicate axis.
     """
-    return jnp.take(feats_full, index_matrix, axis=0)    # (T, K, 16)
+    return jnp.take(feats_full, gauss_of_pos, axis=0).T  # (16, E_cap)
 
 
-def _gather_feats_fwd(feats_full, index_matrix, slot_of_entry):
-    out = gather_feats(feats_full, index_matrix, slot_of_entry)
-    return out, (feats_full.shape, index_matrix.shape, slot_of_entry)
+def _gather_pos_fwd(feats_full, gauss_of_pos, pos_of_entry):
+    out = gather_pos(feats_full, gauss_of_pos, pos_of_entry)
+    return out, (feats_full.shape, pos_of_entry)
 
 
-def _gather_feats_bwd(res, dfeats):
-    (Np1, C), (T, K), slot_of_entry = res
+def _gather_pos_bwd(res, dpos_cm):
+    (Np1, C), pos_of_entry = res
     N = Np1 - 1
-    E = slot_of_entry.shape[0]
+    E = pos_of_entry.shape[0]
     D = E // N
-    slot = slot_of_entry                                 # linear t*K + k
-    ok = slot < T * K
-    rows = jnp.minimum(slot, T * K - 1)
-    g_entry = jnp.take(dfeats.reshape(T * K, C), rows, axis=0)  # (E, 16)
+    Ecap = dpos_cm.shape[1]
+    dpos = dpos_cm.T                                     # (E_cap, 16)
+    ok = pos_of_entry < Ecap                             # sentinel == Ecap
+    rows = jnp.minimum(pos_of_entry, Ecap - 1)
+    g_entry = jnp.take(dpos, rows, axis=0)               # (E, 16)
     g_entry = jnp.where(ok[:, None], g_entry, 0.0)
     g = jnp.sum(g_entry.reshape(N, D, C), axis=1)        # (N, 16)
     d_full = jnp.concatenate(
         [g, jnp.zeros((1, C), g.dtype)], axis=0
     )                                                    # (N+1, 16)
-    zi = jnp.zeros((T, K), jax.dtypes.float0)
-    ze = jnp.zeros((E,), jax.dtypes.float0)
-    return d_full, zi, ze
+    ze = jnp.zeros((Ecap,), jax.dtypes.float0)
+    zp = jnp.zeros((E,), jax.dtypes.float0)
+    return d_full, ze, zp
 
 
-gather_feats.defvjp(_gather_feats_fwd, _gather_feats_bwd)
+gather_pos.defvjp(_gather_pos_fwd, _gather_pos_bwd)
 
 
-def pack_features(
+def _stack_features(
     mean2d: jnp.ndarray,   # (N, 2)
     conic: jnp.ndarray,    # (N, 3)
     opacity: jnp.ndarray,  # (N,) already masked by validity
     rgb: jnp.ndarray,      # (N, 3)
     depth: jnp.ndarray,    # (N,)
-    index_matrix: jnp.ndarray,  # (T, K) with sentinel N
-    slot_of_entry: jnp.ndarray | None = None,  # (N*D,) from TileBins
 ) -> jnp.ndarray:
-    """Gather per-Gaussian features into the (T, K, 16) kernel layout.
-    With slot_of_entry, the gather uses the fast inverse-permutation
-    backward; without it, plain autodiff (scatter-add) applies."""
+    """Per-Gaussian (N+1, 16) feature rows; row N is the all-zero sentinel."""
     N = mean2d.shape[0]
     feats_full = jnp.stack(
         [
@@ -546,9 +616,22 @@ def pack_features(
         ],
         axis=1,
     )                                               # (N, 16)
-    feats_full = jnp.concatenate(
+    return jnp.concatenate(
         [feats_full, jnp.zeros((1, FEAT_ROWS), feats_full.dtype)], axis=0
     )                                               # sentinel row N
-    if slot_of_entry is not None:
-        return gather_feats(feats_full, index_matrix, slot_of_entry)
+
+
+def pack_features_slab(mean2d, conic, opacity, rgb, depth,
+                       gauss_of_pos, pos_of_entry) -> jnp.ndarray:
+    """Gather per-Gaussian features into the (16, entry_capacity) channel-
+    major slab layout with the fast inverse-permutation backward."""
+    feats_full = _stack_features(mean2d, conic, opacity, rgb, depth)
+    return gather_pos(feats_full, gauss_of_pos, pos_of_entry)
+
+
+def pack_features(mean2d, conic, opacity, rgb, depth,
+                  index_matrix: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-Gaussian features into the dense (T, K, 16) layout (used
+    by the pure-JAX oracle path; plain autodiff scatter-add backward)."""
+    feats_full = _stack_features(mean2d, conic, opacity, rgb, depth)
     return jnp.take(feats_full, index_matrix, axis=0)    # (T, K, 16)

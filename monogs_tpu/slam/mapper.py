@@ -84,6 +84,7 @@ class MapperConfig:
     tile_size: int = 32
     tile_capacity: int = 1024
     max_dup: int = 8
+    entry_capacity: int | None = None  # slab rows; None = safe auto
     backend: str = "pallas"
     isotropic: bool = False
     # Monocular (no sensor depth): upstream-MonoGS seeding semantics.
@@ -194,6 +195,7 @@ def _window_bins_traced(state: MapperState, intr: Intrinsics,
             proj.mean2d, proj.radius, proj.depth, proj.valid,
             img_w=intr.width, img_h=intr.height, tile_size=cfg.tile_size,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+            entry_capacity=cfg.entry_capacity,
         )
 
     return jax.vmap(per_kf)(f.R, f.t)
@@ -226,6 +228,7 @@ def _mapping_iter(
             f.R, f.t, intr, rhos=rhos, thetas=thetas, active=gmap.active,
             tile_size=cfg.tile_size,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+            entry_capacity=cfg.entry_capacity,
             backend=cfg.backend, mean2d_dummy=dummy, bins=bins,
         )
         losses = jax.vmap(
@@ -424,7 +427,8 @@ def visibility_pass(state: MapperState, intr: Intrinsics, cfg: MapperConfig):
         rhos=jnp.zeros((Wc, 3)), thetas=jnp.zeros((Wc, 3)),
         active=gmap.active, tile_size=cfg.tile_size,
         tile_capacity=cfg.tile_capacity,
-        max_dup=cfg.max_dup, backend=cfg.backend,
+        max_dup=cfg.max_dup, entry_capacity=cfg.entry_capacity,
+        backend=cfg.backend,
     )
     return (out.n_touched > 0) & window.valid[:, None]
 
@@ -465,6 +469,7 @@ def extend_event(
             gmap.params["quats"], gm.get_opacity(gmap.params),
             gmap.params["rgb"], frame.R, frame.t, intr, active=gmap.active,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+            entry_capacity=cfg.entry_capacity,
             backend=cfg.backend,
         )
         render_depth, render_opacity = out.depth, out.opacity
@@ -500,6 +505,7 @@ def _refine_iter(state: MapperState, frame: Frame, intr: Intrinsics,
             frame.R, frame.t, intr, active=gmap.active,
             tile_size=cfg.tile_size,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+            entry_capacity=cfg.entry_capacity,
             backend=cfg.backend,
         )
         l1 = l1_loss(out.rgb, frame.rgb)

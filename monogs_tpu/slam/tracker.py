@@ -51,6 +51,7 @@ class TrackerConfig:
     tile_size: int = 32
     tile_capacity: int = 2048
     max_dup: int = 8
+    entry_capacity: int | None = None  # slab rows; None = safe auto
     backend: str = "pallas"
     isotropic: bool = False
 
@@ -128,6 +129,7 @@ def track_frame(
             proj.mean2d, proj.radius, proj.depth, proj.valid,
             img_w=intr.width, img_h=intr.height, tile_size=cfg.tile_size,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+            entry_capacity=cfg.entry_capacity,
         )
 
     def loss_fn(rho, theta, ea, eb, R, t, bins):
@@ -138,6 +140,7 @@ def track_frame(
         out = render_projected(
             proj, rcfg, bg=None if bg_is_zero else bg,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+            entry_capacity=cfg.entry_capacity,
             backend=cfg.backend, bins=bins,
         )
         loss = get_loss_tracking(
@@ -200,6 +203,7 @@ def track_frame(
         bg=None if bg_is_zero else bg,
         tile_size=cfg.tile_size,
         tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+            entry_capacity=cfg.entry_capacity,
         backend=cfg.backend,
     )
     median_depth = get_median_depth(out.depth, out.opacity > 0.0)

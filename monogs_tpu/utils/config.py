@@ -62,6 +62,7 @@ def build_tracker_config(cfg: dict, backend: str = "pallas"):
         tile_size=g("Raster", "tile_size", d=32),
         tile_capacity=g("Raster", "tracking_tile_capacity", d=2048),
         max_dup=g("Raster", "max_dup", d=8),
+        entry_capacity=g("Raster", "tracking_entry_capacity", d=None),
         backend=backend,
         isotropic=g("Gaussians", "isotropic", d=False),
     )
@@ -107,6 +108,7 @@ def build_mapper_config(cfg: dict, backend: str = "pallas"):
         tile_size=g("Raster", "tile_size", d=32),
         tile_capacity=g("Raster", "tile_capacity", d=1024),
         max_dup=g("Raster", "max_dup", d=8),
+        entry_capacity=g("Raster", "entry_capacity", d=None),
         backend=backend,
         isotropic=g("Gaussians", "isotropic", d=False),
         isotropic_loss_weight=g("Training", "isotropic_loss_weight", d=0.0),

@@ -15,7 +15,6 @@ from monogs_tpu.ops.projection import ALPHA_EPS, project_gaussians
 from monogs_tpu.ops.render import render
 from monogs_tpu.ops.tile_raster import (
     ALPHA_MAX,
-    composite_tiles_pallas,
     composite_tiles_ref,
     make_raster_config,
 )
@@ -255,6 +254,82 @@ def test_binning_overflow_reported():
         img_w=W, img_h=H, tile_size=TILE, tile_capacity=CAP, max_dup=2,
     )
     assert int(bins.overflow) > 0
+
+
+def test_slab_layout_invariants():
+    """gauss_of_pos / pos_of_entry / index_matrix must agree: the slab is a
+    re-layout of the same sorted (tile, depth) entry list."""
+    from monogs_tpu.ops.binning import SLAB
+
+    intr = _intr()
+    means, scales, quats, opac, rgb = _scene(n=60, seed=4)
+    proj = project_gaussians(
+        means, scales, quats, opac, rgb, jnp.eye(3), jnp.zeros(3),
+        jnp.zeros(3), jnp.zeros(3), intr,
+    )
+    D = 16
+    bins = tile_bin(
+        proj.mean2d, proj.radius, proj.depth, proj.valid,
+        img_w=W, img_h=H, tile_size=TILE, tile_capacity=CAP, max_dup=D,
+    )
+    n = means.shape[0]
+    gop = np.asarray(bins.gauss_of_pos)
+    poe = np.asarray(bins.pos_of_entry)
+    idx = np.asarray(bins.index_matrix)
+    pstart = np.asarray(bins.pstart_blk)
+    counts = np.asarray(bins.counts)
+    owner = np.asarray(bins.owner_blk)
+    first = np.asarray(bins.seg_first)
+    ecap = gop.shape[0]
+    T = idx.shape[0]
+    # Every valid entry's slab position holds its gaussian id.
+    for e in range(poe.shape[0]):
+        if poe[e] < ecap:
+            assert gop[poe[e]] == e // D
+    # index_matrix rows coincide with the slab segments; padding rows are
+    # the sentinel gaussian.
+    for t in range(T):
+        nblk = -(-int(counts[t]) // SLAB)
+        for k in range(counts[t]):
+            assert idx[t, k] == gop[pstart[t] * SLAB + k]
+        for k in range(counts[t], nblk * SLAB):
+            assert gop[pstart[t] * SLAB + k] == n
+        # owner map covers exactly the tile's blocks
+        for b in range(pstart[t], pstart[t] + nblk):
+            assert owner[b] == t
+    # seg_first marks owner transitions; the dead tail is sentinel-owned.
+    assert first[0] == 1
+    for b in range(1, owner.shape[0]):
+        assert first[b] == int(owner[b] != owner[b - 1])
+        assert owner[b] >= owner[b - 1]
+    total_blocks = int(np.sum([-(-int(c) // SLAB) for c in counts]))
+    assert (owner[total_blocks:] == T).all()
+    assert (gop[total_blocks * SLAB:] == n).all()
+
+
+def test_slab_entry_capacity_truncation():
+    """A too-small entry_capacity drops tail tiles' entries, reports
+    overflow, and still renders finite images with matching prefix tiles."""
+    intr = _intr()
+    means, scales, quats, opac, rgb = _scene(n=80, seed=5)
+    R, t = _pose()
+    full = render(means, scales, quats, opac, rgb, R, t, intr,
+                  tile_capacity=CAP, backend="pallas")
+    small = render(means, scales, quats, opac, rgb, R, t, intr,
+                   tile_capacity=CAP, entry_capacity=4 * 128,
+                   backend="pallas")
+    assert int(full.overflow) == 0
+    assert int(small.overflow) > 0
+    assert bool(jnp.all(jnp.isfinite(small.rgb)))
+    # grads must stay finite through the truncated slab
+    g = jax.grad(
+        lambda m: jnp.sum(
+            render(m, scales, quats, opac, rgb, R, t, intr,
+                   tile_capacity=CAP, entry_capacity=4 * 128,
+                   backend="pallas").rgb
+        )
+    )(means)
+    assert bool(jnp.all(jnp.isfinite(g)))
 
 
 def test_empty_scene_renders_background():
