@@ -45,9 +45,10 @@ import jax.numpy as jnp
 import os
 
 DEPTH_BITS = 20   # key bits for depth (below the tile id)
-CHUNK = 128       # compositing inner width (lane width)
-# CHUNKs per rasterizer grid step (env override is a tuning hook for perf
-# sweeps; the default balances grid-step overhead against per-tile padding).
+# Compositing inner width (multiple of the 128-lane width) and CHUNKs per
+# rasterizer grid step (env overrides are tuning hooks for perf sweeps; the
+# defaults balance grid-step overhead against per-tile padding).
+CHUNK = int(os.environ.get("MONOGS_CHUNK", "128"))
 BLOCK_CHUNKS = int(os.environ.get("MONOGS_BLOCK_CHUNKS", "4"))
 SLAB = BLOCK_CHUNKS * CHUNK  # slab segment alignment (rows per grid step)
 
@@ -172,35 +173,53 @@ def tile_bin(
     ).astype(jnp.int32)
 
     # gauss_of_pos: owner tile per block (tiny searchsorted over blocks),
-    # then per-position gaussian id via gathers — no scatter needed.
+    # per-tile scalars gathered at BLOCK granularity (EB elements) and
+    # broadcast to positions — XLA's element-serialized 1-D gather at
+    # position granularity measured ~7 ms per 800k lookups in context.
     b = jnp.arange(EB, dtype=jnp.int32)
     owner_blk = jnp.searchsorted(cum, b, side="right").astype(jnp.int32)
     seg_first = jnp.concatenate(
         [jnp.ones((1,), jnp.int32),
          (owner_blk[1:] != owner_blk[:-1]).astype(jnp.int32)]
     )                                                          # (EB,)
+    owner_safe = jnp.minimum(owner_blk, T - 1)
+    rep = lambda a: jnp.broadcast_to(a[:, None], (EB, SLAB)).reshape(-1)
     p = jnp.arange(EB * SLAB, dtype=jnp.int32)
-    t_p = owner_blk[p // SLAB]
-    t_ps = jnp.minimum(t_p, T - 1)
-    k_p = p - pstart_blk[t_ps] * SLAB
-    ok_p = (t_p < T) & (k_p < counts_eff[t_ps])
-    j_p = jnp.clip(starts[t_ps] + k_p, 0, E - 1)
+    t_p = rep(owner_blk)
+    k_p = p - rep(pstart_blk[owner_safe]) * SLAB
+    ok_p = (t_p < T) & (k_p < rep(counts_eff[owner_safe]))
+    j_p = jnp.clip(rep(starts[owner_safe]) + k_p, 0, E - 1)
     gauss_of_pos = jnp.where(ok_p, sort_idx[j_p], N).astype(jnp.int32)
 
-    # Inverse map entry -> slab position: the slab position of sorted entry
-    # j is analytic (segment-local offset + padded segment start), so only
-    # one unique-index scatter (the un-permutation) is needed.
+    # Slab position of each sorted entry, from segment-boundary scans —
+    # no per-entry table lookups (cummax/cumsum are ~1.4 ms at E=800k where
+    # the three 1-D table gathers they replace measured ~7 ms each):
+    #   k_j  = offset within the entry's segment (j - cummax of boundaries)
+    #   S_j  = SLAB-padded start of the segment (cumsum of the previous
+    #          segments' padded, capacity-capped sizes at each boundary)
+    # Matches the per-tile pstart/counts arithmetic above by construction.
     j = jnp.arange(E, dtype=jnp.int32)
-    t_j = jnp.minimum(sort_tile, T)                            # sentinel -> T
-    t_js = jnp.minimum(t_j, T - 1)
-    k_j = j - starts[t_js]
-    pos_sorted = jnp.where(
-        (t_j < T) & (k_j < counts_eff[t_js]),
-        pstart_blk[t_js] * SLAB + k_j, P_cap
-    ).astype(jnp.int32)
-    pos_of_entry = jnp.full((E,), P_cap, jnp.int32).at[sort_entry].set(
-        pos_sorted, unique_indices=True
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), sort_tile[1:] != sort_tile[:-1]]
     )
+    seg_start = jax.lax.cummax(jnp.where(boundary, j, 0))
+    k_j = j - seg_start
+    prev_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), seg_start[:-1]]
+    )
+    prev_kept = jnp.minimum(j - prev_start, K)                 # at boundaries
+    prev_pad = jnp.where(
+        boundary & (j > 0), -(-prev_kept // SLAB) * SLAB, 0
+    )
+    S = jnp.cumsum(prev_pad)
+    pos = S + k_j
+    pos_sorted = jnp.where(
+        (sort_tile < T) & (k_j < K) & (pos < P_cap), pos, P_cap
+    ).astype(jnp.int32)
+    # Un-permute by sorting (entry, pos) pairs by entry id: a second sort is
+    # much cheaper than XLA's scatter on TPU (~1.4 vs ~14 ms at E=800k),
+    # and sort_entry is a permutation so the result is exact.
+    _, pos_of_entry = jax.lax.sort((sort_entry, pos_sorted), num_keys=1)
 
     overflow = (
         jnp.sum(jnp.maximum(n_cover - max_dup, 0))
