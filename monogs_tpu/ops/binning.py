@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 import os
 
+ALPHA_EPS = 1.0 / 255.0  # rasterizer's alpha floor (shared with tile_raster)
 DEPTH_BITS = 20   # key bits for depth (below the tile id)
 # Compositing inner width (multiple of the 128-lane width) and CHUNKs per
 # rasterizer grid step (env overrides are tuning hooks for perf sweeps; the
@@ -92,6 +93,8 @@ def tile_bin(
     tile_capacity: int = 512,
     max_dup: int = 16,
     entry_capacity: int | None = None,
+    opacity: jnp.ndarray | None = None,   # (N,) activated; enables peak cull
+    conic: jnp.ndarray | None = None,     # (N,3) 2D conic (a, b, c)
 ) -> TileBins:
     N = mean2d.shape[0]
     tiles_x = -(-img_w // tile_size)
@@ -125,6 +128,44 @@ def tile_bin(
     tx = x0[:, None] + d % w_safe
     ty = y0[:, None] + d // w_safe
     dup_valid = d < n_cover[:, None]                           # (N,D)
+
+    if opacity is not None and conic is not None:
+        # Exact corner cull: a candidate tile whose PEAK alpha stays below
+        # the rasterizer's ALPHA_EPS floor contributes nothing (the
+        # in-kernel `ok` test would zero every pixel), so drop it here and
+        # save its slab entry. The power -1/2 x^T A x is concave, so its
+        # max over the tile rect is 0 if the mean lies inside, else the max
+        # over the 4 edges — each a 1-D quadratic with a closed-form
+        # clamped maximizer. Exact => drops precisely the all-zero tiles.
+        opacity = jax.lax.stop_gradient(opacity)
+        conic = jax.lax.stop_gradient(conic)
+        ca = jnp.maximum(conic[:, 0], 1e-12)[:, None]          # (N,1)
+        cb = conic[:, 1][:, None]
+        cc = jnp.maximum(conic[:, 2], 1e-12)[:, None]
+        lx = tx.astype(jnp.float32) * tile_size - u[:, None]   # (N,D)
+        hx = lx + tile_size
+        ly = ty.astype(jnp.float32) * tile_size - v[:, None]
+        hy = ly + tile_size
+
+        def pw(X, Y):
+            return -0.5 * (ca * X * X + cc * Y * Y) - cb * X * Y
+
+        def edge_x(X):                     # max over {X} x [ly, hy]
+            Y = jnp.clip(-cb * X / cc, ly, hy)
+            return pw(X, Y)
+
+        def edge_y(Y):                     # max over [lx, hx] x {Y}
+            X = jnp.clip(-cb * Y / ca, lx, hx)
+            return pw(X, Y)
+
+        inside = (lx <= 0) & (0 <= hx) & (ly <= 0) & (0 <= hy)
+        pmax = jnp.maximum(
+            jnp.maximum(edge_x(lx), edge_x(hx)),
+            jnp.maximum(edge_y(ly), edge_y(hy)),
+        )
+        pmax = jnp.where(inside, 0.0, pmax)
+        peak = opacity[:, None] * jnp.exp(pmax)
+        dup_valid = dup_valid & (peak >= ALPHA_EPS)
     tile_id = jnp.where(dup_valid, ty * tiles_x + tx, T).astype(jnp.int32)
 
     # Packed sort key: [tile_id | depth bits]. Positive-float IEEE bits are

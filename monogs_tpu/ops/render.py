@@ -83,6 +83,8 @@ def render_projected(
             img_w=cfg.img_w, img_h=cfg.img_h, tile_size=cfg.tile_size,
             tile_capacity=tile_capacity, max_dup=max_dup,
             entry_capacity=entry_capacity,
+            opacity=jnp.where(proj.valid, proj.opacity, 0.0),
+            conic=proj.conic,
         )
 
     opacity = jnp.where(proj.valid, proj.opacity, 0.0)
@@ -184,6 +186,8 @@ def render_window(
                 img_w=cfg.img_w, img_h=cfg.img_h, tile_size=cfg.tile_size,
                 tile_capacity=tile_capacity, max_dup=max_dup,
                 entry_capacity=entry_capacity,
+                opacity=jnp.where(proj.valid, proj.opacity, 0.0),
+                conic=proj.conic,
             )
         opa = jnp.where(proj.valid, proj.opacity, 0.0)
         if backend == "ref":

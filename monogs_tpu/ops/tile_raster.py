@@ -353,7 +353,12 @@ def _slab_bwd_kernel(owner_ref, first_ref, pstart_ref, counts_ref,
             dalpha = Tk * g - S / (1.0 - alpha)
             dalpha_raw = jnp.where(ok & (alpha_raw < ALPHA_MAX), dalpha, 0.0)
             dpower = dalpha_raw * alpha_raw
-            d_opa = jnp.sum(dalpha_raw * expp, axis=0, keepdims=True)  # (1,CK)
+            # d_opa = sum(dalpha_raw * expp); expp == alpha_raw / opa, so the
+            # dpower sum divided by opa avoids keeping expp live (the bwd
+            # working set is scoped-VMEM limited).
+            d_opa = jnp.sum(dpower, axis=0, keepdims=True) / jnp.maximum(
+                opa, 1e-12
+            )                                                  # (1,CK)
 
             # d color/depth (+ unused alpha column): sum_p w * g -> (5, CHUNK).
             dprops = jax.lax.dot_general(

@@ -196,6 +196,8 @@ def _window_bins_traced(state: MapperState, intr: Intrinsics,
             img_w=intr.width, img_h=intr.height, tile_size=cfg.tile_size,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
             entry_capacity=cfg.entry_capacity,
+            opacity=jnp.where(proj.valid, proj.opacity, 0.0),
+            conic=proj.conic,
         )
 
     return jax.vmap(per_kf)(f.R, f.t)

@@ -130,6 +130,8 @@ def track_frame(
             img_w=intr.width, img_h=intr.height, tile_size=cfg.tile_size,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
             entry_capacity=cfg.entry_capacity,
+            opacity=jnp.where(proj.valid, proj.opacity, 0.0),
+            conic=proj.conic,
         )
 
     def loss_fn(rho, theta, ea, eb, R, t, bins):

@@ -21,7 +21,7 @@ from monogs_tpu.ops.tile_raster import (
 
 W, H = 64, 48
 TILE = 16
-CAP = 128  # tile capacity (one CHUNK)
+CAP = 256  # tile capacity (one CHUNK)
 
 
 def _intr():
