@@ -33,6 +33,7 @@ from .tile_raster import (
     make_raster_config,
     pack_features,
     pack_features_slab,
+    pack_features_window,
 )
 
 
@@ -156,6 +157,7 @@ def render_window(
     backend: str = "pallas",
     mean2d_dummy: jnp.ndarray | None = None,  # (W, N, 2) per-kf screen hook
     bins=None,   # optional vmapped TileBins (leading window axis)
+    with_n_touched: bool = True,
 ) -> WindowRenderOutput:
     """Batched multi-view render: the mapper's whole keyframe window in ONE
     rasterizer launch.
@@ -196,23 +198,23 @@ def render_window(
                 bins_kf.index_matrix,
             )                                       # (T, K, 16)
         else:
-            feats = pack_features_slab(
-                mean2d, proj.conic, opa, proj.rgb, proj.depth,
-                bins_kf.gauss_of_pos, bins_kf.pos_of_entry,
-            )                                       # (16, E_cap)
+            # Raw channels only; pack+gather happen once, un-vmapped, in
+            # pack_features_window (vmapped gathers lower pathologically).
+            feats = (mean2d, proj.conic, opa, proj.rgb, proj.depth)
         return (feats, bins_kf.index_matrix, bins_kf.pstart_blk,
                 bins_kf.owner_blk, bins_kf.seg_first, bins_kf.counts,
-                proj.radius, bins_kf.overflow)
+                proj.radius, bins_kf.overflow,
+                bins_kf.gauss_of_pos, bins_kf.pos_of_entry)
 
     if bins is None:
         (feats, idx_mats, pstarts, owners, firsts, counts, radii,
-         overflows) = jax.vmap(
+         overflows, gops, poes) = jax.vmap(
             lambda R, t, rho, theta, dummy: per_kf(R, t, rho, theta, dummy,
                                                    None)
         )(Rs, ts, rhos, thetas, mean2d_dummy)
     else:
         (feats, idx_mats, pstarts, owners, firsts, counts, radii,
-         overflows) = jax.vmap(per_kf)(
+         overflows, gops, poes) = jax.vmap(per_kf)(
             Rs, ts, rhos, thetas, mean2d_dummy, bins
         )
 
@@ -223,8 +225,9 @@ def render_window(
             feats.reshape(Wn * T, K, feats.shape[-1]), cfg
         )
     else:
-        # Concatenate each keyframe's slab (feats is already the kernel's
-        # (n_img, 16, E_cap) layout); block/tile ids become global.
+        # One un-vmapped pack+gather builds the whole window's slab in the
+        # kernel's (n_img, 16, E_cap) layout; block/tile ids become global.
+        feats = pack_features_window(*feats, gops, poes)
         E_cap = feats.shape[2]
         eb_img = E_cap // SLAB
         img = jnp.arange(Wn, dtype=jnp.int32)[:, None]
@@ -245,11 +248,17 @@ def render_window(
     if bg is not None:
         rgb = rgb + (1.0 - alpha)[..., None] * bg[None, None, None, :]
 
-    n_touched = jax.vmap(
-        lambda tch, idx: jax.ops.segment_sum(
-            tch.reshape(-1), idx.reshape(-1), num_segments=N + 1
-        )[:N]
-    )(touched.reshape(Wn, T, K), idx_mats)
+    if with_n_touched:
+        n_touched = jax.vmap(
+            lambda tch, idx: jax.ops.segment_sum(
+                tch.reshape(-1), idx.reshape(-1), num_segments=N + 1
+            )[:N]
+        )(touched.reshape(Wn, T, K), idx_mats)
+    else:
+        # The segment_sum is a scatter (~20 ms/iter at window 8 / N 131072);
+        # per-iteration mapping doesn't consume n_touched — the host gets
+        # visibility from the dedicated visibility_pass instead.
+        n_touched = jnp.zeros((Wn, N), jnp.int32)
 
     return WindowRenderOutput(
         rgb=rgb, depth=imgs[:, :, :, 3], opacity=alpha,

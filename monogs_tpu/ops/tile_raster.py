@@ -566,7 +566,12 @@ def gather_pos(feats_full: jnp.ndarray, gauss_of_pos: jnp.ndarray,
     per-position gradients followed by a per-Gaussian reduction over the
     duplicate axis.
     """
-    return jnp.take(feats_full, gauss_of_pos, axis=0).T  # (16, E_cap)
+    rows = jnp.take(feats_full, gauss_of_pos, axis=0)    # (E_cap, 16)
+    # Barrier: without it XLA (under vmap) fuses the transpose INTO the
+    # gather, turning it into a strided column gather — measured 22x slower
+    # per row in the mapper's batched window backward.
+    rows = jax.lax.optimization_barrier(rows)
+    return rows.T                                        # (16, E_cap)
 
 
 def _gather_pos_fwd(feats_full, gauss_of_pos, pos_of_entry):
@@ -580,7 +585,9 @@ def _gather_pos_bwd(res, dpos_cm):
     E = pos_of_entry.shape[0]
     D = E // N
     Ecap = dpos_cm.shape[1]
-    dpos = dpos_cm.T                                     # (E_cap, 16)
+    # Same barrier as the forward: keep the row gather row-major instead of
+    # letting XLA fuse the transpose into it (strided-gather pathology).
+    dpos = jax.lax.optimization_barrier(dpos_cm.T)       # (E_cap, 16)
     ok = pos_of_entry < Ecap                             # sentinel == Ecap
     rows = jnp.minimum(pos_of_entry, Ecap - 1)
     g_entry = jnp.take(dpos, rows, axis=0)               # (E, 16)
@@ -595,6 +602,61 @@ def _gather_pos_bwd(res, dpos_cm):
 
 
 gather_pos.defvjp(_gather_pos_fwd, _gather_pos_bwd)
+
+
+@jax.custom_vjp
+def pack_features_window(mean2d, conic, opacity, rgb, depth,
+                         gauss_of_pos_w, pos_of_entry_w):
+    """Batched-window pack + slab gather: per-kf channel arrays (Wn, N, .)
+    -> (Wn, 16, E_cap) kernel layout.
+
+    One custom-VJP boundary spanning stack+gather: the backward emits the
+    per-channel gradients directly (slices of the per-Gaussian reduction),
+    avoiding the sentinel-row concat and stack/unstack round-trips an inner
+    gather boundary would pay (measured ~9 ms/iter at window 8). The row
+    gathers are UNROLLED per keyframe: both a vmapped gather and one flat
+    gather over the concatenated window fall off a table-size cliff in
+    XLA's TPU gather (measured 207-270 ms/iter vs 19 ms as small takes)."""
+    Wn = gauss_of_pos_w.shape[0]
+    feats_full = jax.vmap(_stack_features)(
+        mean2d, conic, opacity, rgb, depth
+    )                                                    # (Wn, N+1, 16)
+    rows = jnp.stack(
+        [jnp.take(feats_full[w], gauss_of_pos_w[w], axis=0)
+         for w in range(Wn)]
+    )                                                    # (Wn, E_cap, 16)
+    rows = jax.lax.optimization_barrier(rows)
+    return rows.transpose(0, 2, 1)
+
+
+def _pfw_fwd(mean2d, conic, opacity, rgb, depth, gop_w, poe_w):
+    out = pack_features_window(mean2d, conic, opacity, rgb, depth,
+                               gop_w, poe_w)
+    return out, (mean2d.shape, poe_w)
+
+
+def _pfw_bwd(res, dcm):
+    (Wn, N, _), pos_w = res
+    E = pos_w.shape[1]
+    D = E // N
+    C = FEAT_ROWS
+    Ecap = dcm.shape[2]
+    dpos = jax.lax.optimization_barrier(dcm.transpose(0, 2, 1))
+    ok = pos_w < Ecap                                    # sentinel == Ecap
+    rows_idx = jnp.minimum(pos_w, Ecap - 1)
+    gs = []
+    for w in range(Wn):                                  # unrolled: small
+        g = jnp.take(dpos[w], rows_idx[w], axis=0)       # tables gather fast
+        g = jnp.where(ok[w][:, None], g, 0.0)
+        gs.append(jnp.sum(g.reshape(N, D, C), axis=1))
+    g = jnp.stack(gs)                                    # (Wn, N, 16)
+    zg = jnp.zeros((Wn, Ecap), jax.dtypes.float0)
+    zp = jnp.zeros((Wn, E), jax.dtypes.float0)
+    return (g[..., 0:2], g[..., 2:5], g[..., 5], g[..., 6:9], g[..., 9],
+            zg, zp)
+
+
+pack_features_window.defvjp(_pfw_fwd, _pfw_bwd)
 
 
 def _stack_features(

@@ -232,6 +232,7 @@ def _mapping_iter(
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
             entry_capacity=cfg.entry_capacity,
             backend=cfg.backend, mean2d_dummy=dummy, bins=bins,
+            with_n_touched=False,
         )
         losses = jax.vmap(
             functools.partial(get_loss_mapping, init=init)
@@ -327,7 +328,9 @@ def _mapping_iter(
     )
     aux = MappingAux(
         loss=loss,
-        visibility=(out.n_touched > 0) & window.valid[:, None],
+        # n_touched is skipped in the hot loop (with_n_touched=False above);
+        # visibility comes from visibility_pass at cadence boundaries.
+        visibility=jnp.zeros_like(vis_filter) & window.valid[:, None],
         vis_filter=vis_filter & window.valid[:, None],
         overflow=out.overflow,
     )
@@ -595,7 +598,7 @@ def run_initialize_map(state: MapperState, intr: Intrinsics, cfg: MapperConfig,
             state, _ = densify_event(state, cfg, init_phase=True)
         if it == cfg.init_gaussian_reset:
             state = reset_opacity_event(state)
-    return state, aux.visibility
+    return state, visibility_pass(state, intr, cfg)
 
 
 def run_optimize_map(
@@ -604,7 +607,6 @@ def run_optimize_map(
     """The iters_per_kf mapping loop with its cadences
     (slam_mapper.py:244-496), run in jitted chunks between cadence events.
     Returns (state, last visibility)."""
-    visibility = None
     start = int(state.nr_iters)
     end = start + iters
     while int(state.nr_iters) < end:
@@ -618,7 +620,6 @@ def run_optimize_map(
         )
         n = cfg.rebin_every if stop - cur >= cfg.rebin_every else 1
         state, aux = mapping_chunk(state, intr, cfg, False, n)
-        visibility = aux.visibility
         it = int(state.nr_iters)
         overflow = int(aux.overflow)
         if overflow > 1000:
@@ -636,4 +637,6 @@ def run_optimize_map(
             # (slam_mapper.py:476-479), not the n_touched signal.
             any_visible = jnp.any(aux.vis_filter, axis=0)
             state = reset_nonvisible_event(state, any_visible)
-    return state, visibility
+    # Visibility for the caller's covisibility bookkeeping (the hot loop
+    # skips the per-iteration n_touched scatter).
+    return state, visibility_pass(state, intr, cfg)
