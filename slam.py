@@ -31,6 +31,12 @@ def main():
                     help="start the live web viewer on this port")
     ap.add_argument("--async-mode", action="store_true",
                     help="tracker and mapper run concurrently")
+    ap.add_argument("--dist-coordinator", default=None, metavar="HOST:PORT",
+                    help="jax.distributed coordinator (multi-host runs)")
+    ap.add_argument("--dist-procs", type=int, default=None,
+                    help="total process count of the multi-host run")
+    ap.add_argument("--dist-rank", type=int, default=None,
+                    help="this process's rank in the multi-host run")
     args = ap.parse_args()
 
     import yaml
@@ -38,6 +44,16 @@ def main():
     from monogs_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # Multi-host: bring up the distributed runtime before any computation;
+    # every process then sees the global device set (parallel/distributed).
+    from monogs_tpu.parallel.distributed import (
+        initialize_distributed,
+        is_primary,
+        sync_hosts,
+    )
+
+    initialize_distributed(args.dist_coordinator, args.dist_procs,
+                           args.dist_rank)
     from monogs_tpu.data import load_dataset
     from monogs_tpu.slam.system import SLAM
     from monogs_tpu.utils.config import (
@@ -58,11 +74,18 @@ def main():
     stamp = time.strftime("%Y-%m-%d-%H-%M-%S")
     save_root = config.get("Results", {}).get("save_dir", "results")
     save_dir = os.path.join(save_root, f"{ds_cfg.get('type','x')}_{scene}", stamp)
+    if not is_primary():
+        # Replicated host drivers on secondary processes write only scratch.
+        import jax
+
+        save_dir = os.path.join("/tmp", f"monogs_rank{jax.process_index()}",
+                                stamp)
     os.makedirs(save_dir, exist_ok=True)
     config.setdefault("Results", {})["save_dir"] = save_dir
     with open(os.path.join(save_dir, "config.yml"), "w") as f:
         yaml.dump(config, f)
-    Log(f"Results -> {save_dir}", tag="System")
+    if is_primary():
+        Log(f"Results -> {save_dir}", tag="System")
 
     dataset = load_dataset(config)
     slam = SLAM(
@@ -73,7 +96,7 @@ def main():
         system_config=build_system_config(config),
     )
     slam.scfg.save_dir = save_dir
-    if args.viewer:
+    if args.viewer and is_primary():
         slam.start_viewer(port=args.viewer)
 
     if args.async_mode:
@@ -82,13 +105,17 @@ def main():
         rmse = slam.run(n_frames=args.n_frames)
     if args.refine:
         slam.refine(iters=args.refine)
-    if args.eval or config.get("Results", {}).get("eval_rendering", False):
-        res = slam.eval_rendering(every=5)
-        Log(f"PSNR {res['mean_psnr']:.2f} SSIM {res['mean_ssim']:.3f}",
-            tag="Eval")
-    if args.ate_align:
-        Log(f"aligned ATE {slam.eval_ate(label='aligned', align=True):.4f}",
-            tag="Eval")
+    # Artifacts/eval on the primary process only (host logic is replicated
+    # across processes in multi-host runs; device work is already shared).
+    if is_primary():
+        if args.eval or config.get("Results", {}).get("eval_rendering", False):
+            res = slam.eval_rendering(every=5)
+            Log(f"PSNR {res['mean_psnr']:.2f} SSIM {res['mean_ssim']:.3f}",
+                tag="Eval")
+        if args.ate_align:
+            Log(f"aligned ATE {slam.eval_ate(label='aligned', align=True):.4f}",
+                tag="Eval")
+    sync_hosts("run-end")
     return rmse
 
 
