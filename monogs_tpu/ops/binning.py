@@ -21,10 +21,14 @@ static-capacity *slab* layout:
 
 The slab carries no gradients (indices are ints); gradients flow through the
 *gather* of Gaussian features into slab order. To avoid XLA's slow
-scatter-add in the gather's transpose, binning also emits `pos_of_entry`:
-for every duplicated entry (gaussian i, dup d) its slab position (or a
-sentinel). The gather backward is then a dense row gather + per-Gaussian
-reduction over the duplicate axis (see tile_raster.gather_pos).
+scatter-add in the gather's transpose, binning also emits a *gaussian-sorted*
+view of the slab: `gsort_pos` lists slab positions grouped by gaussian id,
+`gseg_start` flags group boundaries, and `g_last` points at each gaussian's
+last entry in that order. The gather backward is then an
+occupancy-proportional row gather + a log2(max_dup)-step segmented shift-add
+scan (segments are one gaussian's <= max_dup duplicates; exact fp32 tree
+sums, no prefix-difference cancellation) + an (N,)-row readback of segment
+totals (see tile_raster.gather_pos).
 
 `index_matrix` (T, K) is kept for the n_touched scatter (per-Gaussian
 visibility counts) — it is int32-only and reused across iterations.
@@ -64,8 +68,13 @@ class TileBins(NamedTuple):
                                 #   starts a new owner (output-row boundary)
     gauss_of_pos: jnp.ndarray   # (entry_capacity,) int32 gaussian id per slab
                                 #   position; sentinel N on padding
-    pos_of_entry: jnp.ndarray   # (N*max_dup,) int32 slab position or sentinel
-                                #   entry_capacity
+    gsort_pos: jnp.ndarray      # (entry_capacity,) int32 slab positions
+                                #   grouped (sorted) by gaussian id
+    gseg_start: jnp.ndarray     # (entry_capacity,) int32 1 where gsort_pos
+                                #   starts a new gaussian's group
+    g_last: jnp.ndarray         # (N,) int32 index into gsort order of the
+                                #   gaussian's LAST entry; sentinel
+                                #   entry_capacity when it has none
     overflow: jnp.ndarray       # () int32: dropped entries (all caps)
 
 
@@ -262,6 +271,42 @@ def tile_bin(
     # and sort_entry is a permutation so the result is exact.
     _, pos_of_entry = jax.lax.sort((sort_entry, pos_sorted), num_keys=1)
 
+    # Gaussian-sorted slab view for the occupancy-proportional gather
+    # backward (tile_raster._segsum_last). The flat (N, max_dup) entry table
+    # is already gaussian-major, so per-gaussian survivor counts, segment
+    # bounds and each entry's destination rank in the compacted view are all
+    # ELEMENTWISE cumsums (a vectorized searchsorted here measured 17.5
+    # ms/iter: XLA lowers it to ~log2(E_cap) serialized gather passes). One
+    # more E-sort places survivors at their destinations; segment order
+    # within a gaussian is irrelevant (the backward only sums segments).
+    surv = (pos_of_entry < P_cap).reshape(N, max_dup)
+    k_i = jnp.sum(surv.astype(jnp.int32), axis=1)              # (N,)
+    incl = jnp.cumsum(k_i)
+    excl = incl - k_i
+    g_last = jnp.where(k_i > 0, incl - 1, P_cap).astype(jnp.int32)
+    rank = jnp.cumsum(surv.astype(jnp.int32), axis=1) - 1      # (N, D)
+    gpos = (excl[:, None] + rank).astype(jnp.int32)
+    dest = jnp.where(surv, gpos, E).reshape(-1)
+    gauss_e = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None], (N, max_dup)
+    )
+    gauss_val = jnp.where(surv, gauss_e, N).reshape(-1)
+    _, gsort_pos, gsort_gauss = jax.lax.sort(
+        (dest, jnp.minimum(pos_of_entry, P_cap - 1), gauss_val), num_keys=1
+    )
+    if E < P_cap:                                              # pad the tail
+        padp = jnp.full((P_cap - E,), P_cap - 1, jnp.int32)
+        padg = jnp.full((P_cap - E,), N, jnp.int32)
+        gsort_pos = jnp.concatenate([gsort_pos, padp])
+        gsort_gauss = jnp.concatenate([gsort_gauss, padg])
+    else:
+        gsort_pos = gsort_pos[:P_cap]
+        gsort_gauss = gsort_gauss[:P_cap]
+    gseg_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (gsort_gauss[1:] != gsort_gauss[:-1]).astype(jnp.int32)]
+    )
+
     overflow = (
         jnp.sum(jnp.maximum(n_cover - max_dup, 0))
         + jnp.sum(jnp.maximum(seg_counts - K, 0))
@@ -270,5 +315,6 @@ def tile_bin(
     return TileBins(index_matrix=index_matrix, counts=counts_eff,
                     pstart_blk=pstart_blk, owner_blk=owner_blk,
                     seg_first=seg_first,
-                    gauss_of_pos=gauss_of_pos, pos_of_entry=pos_of_entry,
+                    gauss_of_pos=gauss_of_pos, gsort_pos=gsort_pos,
+                    gseg_start=gseg_start, g_last=g_last,
                     overflow=overflow.astype(jnp.int32))

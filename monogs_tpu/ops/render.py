@@ -11,9 +11,9 @@ Pipeline (single jittable graph):
   project_gaussians (autodiff, incl. pose delta)  ->  tile_bin (int indices)
   ->  slab feature gather  ->  composite_slab (Pallas custom-VJP)  ->
   assemble. Gradients w.r.t. Gaussian params flow through the gather's
-  custom backward (inverse-permutation row gather + duplicate-axis
-  reduction, tile_raster.gather_pos); gradients w.r.t. (rho, theta) flow
-  through projection.
+  custom backward (gaussian-sorted slab gather + segmented shift-add scan,
+  tile_raster.gather_pos / _segsum_last); gradients w.r.t. (rho, theta)
+  flow through projection.
 """
 
 from __future__ import annotations
@@ -98,7 +98,8 @@ def render_projected(
     else:
         feats_pos = pack_features_slab(
             mean2d, proj.conic, opacity, proj.rgb, proj.depth,
-            bins.gauss_of_pos, bins.pos_of_entry,
+            bins.gauss_of_pos, bins.gsort_pos, bins.gseg_start, bins.g_last,
+            max_dup,
         )                                           # (16, E_cap)
         out, touched = composite_slab(
             feats_pos[None], bins.owner_blk, bins.seg_first, bins.pstart_blk,
@@ -204,17 +205,18 @@ def render_window(
         return (feats, bins_kf.index_matrix, bins_kf.pstart_blk,
                 bins_kf.owner_blk, bins_kf.seg_first, bins_kf.counts,
                 proj.radius, bins_kf.overflow,
-                bins_kf.gauss_of_pos, bins_kf.pos_of_entry)
+                bins_kf.gauss_of_pos, bins_kf.gsort_pos,
+                bins_kf.gseg_start, bins_kf.g_last)
 
     if bins is None:
         (feats, idx_mats, pstarts, owners, firsts, counts, radii,
-         overflows, gops, poes) = jax.vmap(
+         overflows, gops, gsps, gsfs, glasts) = jax.vmap(
             lambda R, t, rho, theta, dummy: per_kf(R, t, rho, theta, dummy,
                                                    None)
         )(Rs, ts, rhos, thetas, mean2d_dummy)
     else:
         (feats, idx_mats, pstarts, owners, firsts, counts, radii,
-         overflows, gops, poes) = jax.vmap(per_kf)(
+         overflows, gops, gsps, gsfs, glasts) = jax.vmap(per_kf)(
             Rs, ts, rhos, thetas, mean2d_dummy, bins
         )
 
@@ -227,7 +229,8 @@ def render_window(
     else:
         # One un-vmapped pack+gather builds the whole window's slab in the
         # kernel's (n_img, 16, E_cap) layout; block/tile ids become global.
-        feats = pack_features_window(*feats, gops, poes)
+        feats = pack_features_window(*feats, gops, gsps, gsfs, glasts,
+                                     max_dup)
         E_cap = feats.shape[2]
         eb_img = E_cap // SLAB
         img = jnp.arange(Wn, dtype=jnp.int32)[:, None]

@@ -552,19 +552,48 @@ composite_slab.defvjp(_composite_fwd, _composite_bwd)
 # --- slab feature gather -----------------------------------------------------
 
 
-@jax.custom_vjp
+def _segsum_last(dpos, gsort_pos, gseg_start, g_last, max_dup):
+    """Occupancy-proportional per-Gaussian gradient reduction.
+
+    dpos: (E_cap, C) per-slab-position gradients (padding rows are zero by
+    the kernel's contract). Gather rows into gaussian-sorted order, run a
+    segmented Hillis-Steele inclusive scan (ceil(log2(max_dup)) shift-add
+    steps — each real segment is one gaussian's <= max_dup duplicates, so
+    the scan saturates; the oversized padding segment is never read), then
+    read each gaussian's segment total at its last entry. Exact fp32 tree
+    sums — no prefix-difference cancellation. Cost ~E_cap + N rows, vs the
+    N*max_dup-row inverse-permutation gather it replaces (9x real occupancy
+    at 80k live / max_dup 8)."""
+    Ecap, C = dpos.shape
+    rows = jnp.take(dpos, gsort_pos, axis=0)             # (E_cap, C)
+    flag = gseg_start.astype(bool)
+    k = 1
+    while k < max_dup:
+        prev = jnp.concatenate(
+            [jnp.zeros((k, C), rows.dtype), rows[:-k]], axis=0
+        )
+        pflag = jnp.concatenate([jnp.ones((k,), bool), flag[:-k]])
+        rows = rows + jnp.where(flag[:, None], 0.0, prev)
+        flag = flag | pflag
+        k *= 2
+    ok = g_last < Ecap                                   # sentinel == Ecap
+    g = jnp.take(rows, jnp.minimum(g_last, Ecap - 1), axis=0)  # (N, C)
+    return jnp.where(ok[:, None], g, 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def gather_pos(feats_full: jnp.ndarray, gauss_of_pos: jnp.ndarray,
-               pos_of_entry: jnp.ndarray) -> jnp.ndarray:
+               gsort_pos: jnp.ndarray, gseg_start: jnp.ndarray,
+               g_last: jnp.ndarray, max_dup: int) -> jnp.ndarray:
     """(N+1, 16) features + (E_cap,) slab gaussian ids -> (16, E_cap).
 
     The gathers move contiguous 64-byte ROWS (XLA's TPU gather of strided
     columns and its scatter-add transpose both serialize badly — measured
     10-20ms each at N=100k; 16 per-channel 1-D gathers measured 2-5x slower
     than one row gather + transpose). One transpose each way converts to the
-    kernels' channel-major layout. The backward uses the binning's
-    precomputed entry->position inverse permutation: a dense row gather of
-    per-position gradients followed by a per-Gaussian reduction over the
-    duplicate axis.
+    kernels' channel-major layout. The backward reduces per-position
+    gradients to per-Gaussian sums via the binning's gaussian-sorted slab
+    view (_segsum_last) — occupancy-proportional, no scatter.
     """
     rows = jnp.take(feats_full, gauss_of_pos, axis=0)    # (E_cap, 16)
     # Barrier: without it XLA (under vmap) fuses the transpose INTO the
@@ -574,39 +603,35 @@ def gather_pos(feats_full: jnp.ndarray, gauss_of_pos: jnp.ndarray,
     return rows.T                                        # (16, E_cap)
 
 
-def _gather_pos_fwd(feats_full, gauss_of_pos, pos_of_entry):
-    out = gather_pos(feats_full, gauss_of_pos, pos_of_entry)
-    return out, (feats_full.shape, pos_of_entry)
+def _gather_pos_fwd(feats_full, gauss_of_pos, gsort_pos, gseg_start,
+                    g_last, max_dup):
+    # (custom_vjp fwd receives nondiff args in position; bwd gets them first)
+    out = gather_pos(feats_full, gauss_of_pos, gsort_pos, gseg_start,
+                     g_last, max_dup)
+    return out, (feats_full.shape, gsort_pos, gseg_start, g_last)
 
 
-def _gather_pos_bwd(res, dpos_cm):
-    (Np1, C), pos_of_entry = res
-    N = Np1 - 1
-    E = pos_of_entry.shape[0]
-    D = E // N
+def _gather_pos_bwd(max_dup, res, dpos_cm):
+    (Np1, C), gsort_pos, gseg_start, g_last = res
     Ecap = dpos_cm.shape[1]
     # Same barrier as the forward: keep the row gather row-major instead of
     # letting XLA fuse the transpose into it (strided-gather pathology).
     dpos = jax.lax.optimization_barrier(dpos_cm.T)       # (E_cap, 16)
-    ok = pos_of_entry < Ecap                             # sentinel == Ecap
-    rows = jnp.minimum(pos_of_entry, Ecap - 1)
-    g_entry = jnp.take(dpos, rows, axis=0)               # (E, 16)
-    g_entry = jnp.where(ok[:, None], g_entry, 0.0)
-    g = jnp.sum(g_entry.reshape(N, D, C), axis=1)        # (N, 16)
+    g = _segsum_last(dpos, gsort_pos, gseg_start, g_last, max_dup)
     d_full = jnp.concatenate(
         [g, jnp.zeros((1, C), g.dtype)], axis=0
     )                                                    # (N+1, 16)
-    ze = jnp.zeros((Ecap,), jax.dtypes.float0)
-    zp = jnp.zeros((E,), jax.dtypes.float0)
-    return d_full, ze, zp
+    zi = lambda a: jnp.zeros(a.shape, jax.dtypes.float0)
+    return d_full, zi(gsort_pos), zi(gsort_pos), zi(gseg_start), zi(g_last)
 
 
 gather_pos.defvjp(_gather_pos_fwd, _gather_pos_bwd)
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
 def pack_features_window(mean2d, conic, opacity, rgb, depth,
-                         gauss_of_pos_w, pos_of_entry_w):
+                         gauss_of_pos_w, gsort_pos_w, gseg_start_w,
+                         g_last_w, max_dup):
     """Batched-window pack + slab gather: per-kf channel arrays (Wn, N, .)
     -> (Wn, 16, E_cap) kernel layout.
 
@@ -616,7 +641,10 @@ def pack_features_window(mean2d, conic, opacity, rgb, depth,
     gather boundary would pay (measured ~9 ms/iter at window 8). The row
     gathers are UNROLLED per keyframe: both a vmapped gather and one flat
     gather over the concatenated window fall off a table-size cliff in
-    XLA's TPU gather (measured 207-270 ms/iter vs 19 ms as small takes)."""
+    XLA's TPU gather (measured 207-270 ms/iter vs 19 ms as small takes).
+    The backward reduces per-position gradients through the gaussian-sorted
+    slab view (_segsum_last) — occupancy-proportional, ~E_cap + N rows per
+    keyframe instead of N*max_dup."""
     Wn = gauss_of_pos_w.shape[0]
     feats_full = jax.vmap(_stack_features)(
         mean2d, conic, opacity, rgb, depth
@@ -629,31 +657,25 @@ def pack_features_window(mean2d, conic, opacity, rgb, depth,
     return rows.transpose(0, 2, 1)
 
 
-def _pfw_fwd(mean2d, conic, opacity, rgb, depth, gop_w, poe_w):
-    out = pack_features_window(mean2d, conic, opacity, rgb, depth,
-                               gop_w, poe_w)
-    return out, (mean2d.shape, poe_w)
+def _pfw_fwd(mean2d, conic, opacity, rgb, depth, gop_w,
+             gsort_pos_w, gseg_start_w, g_last_w, max_dup):
+    out = pack_features_window(mean2d, conic, opacity, rgb, depth, gop_w,
+                               gsort_pos_w, gseg_start_w, g_last_w, max_dup)
+    return out, (gop_w, gsort_pos_w, gseg_start_w, g_last_w)
 
 
-def _pfw_bwd(res, dcm):
-    (Wn, N, _), pos_w = res
-    E = pos_w.shape[1]
-    D = E // N
-    C = FEAT_ROWS
-    Ecap = dcm.shape[2]
+def _pfw_bwd(max_dup, res, dcm):
+    gop_w, gsort_pos_w, gseg_start_w, g_last_w = res
+    Wn = gop_w.shape[0]
     dpos = jax.lax.optimization_barrier(dcm.transpose(0, 2, 1))
-    ok = pos_w < Ecap                                    # sentinel == Ecap
-    rows_idx = jnp.minimum(pos_w, Ecap - 1)
-    gs = []
-    for w in range(Wn):                                  # unrolled: small
-        g = jnp.take(dpos[w], rows_idx[w], axis=0)       # tables gather fast
-        g = jnp.where(ok[w][:, None], g, 0.0)
-        gs.append(jnp.sum(g.reshape(N, D, C), axis=1))
-    g = jnp.stack(gs)                                    # (Wn, N, 16)
-    zg = jnp.zeros((Wn, Ecap), jax.dtypes.float0)
-    zp = jnp.zeros((Wn, E), jax.dtypes.float0)
+    g = jnp.stack(
+        [_segsum_last(dpos[w], gsort_pos_w[w], gseg_start_w[w],
+                      g_last_w[w], max_dup)
+         for w in range(Wn)]                             # unrolled: small
+    )                                                    # (Wn, N, 16)
+    zi = lambda a: jnp.zeros(a.shape, jax.dtypes.float0)
     return (g[..., 0:2], g[..., 2:5], g[..., 5], g[..., 6:9], g[..., 9],
-            zg, zp)
+            zi(gop_w), zi(gsort_pos_w), zi(gseg_start_w), zi(g_last_w))
 
 
 pack_features_window.defvjp(_pfw_fwd, _pfw_bwd)
@@ -689,11 +711,14 @@ def _stack_features(
 
 
 def pack_features_slab(mean2d, conic, opacity, rgb, depth,
-                       gauss_of_pos, pos_of_entry) -> jnp.ndarray:
+                       gauss_of_pos, gsort_pos, gseg_start, g_last,
+                       max_dup) -> jnp.ndarray:
     """Gather per-Gaussian features into the (16, entry_capacity) channel-
-    major slab layout with the fast inverse-permutation backward."""
+    major slab layout with the occupancy-proportional segmented-scan
+    backward."""
     feats_full = _stack_features(mean2d, conic, opacity, rgb, depth)
-    return gather_pos(feats_full, gauss_of_pos, pos_of_entry)
+    return gather_pos(feats_full, gauss_of_pos, gsort_pos, gseg_start,
+                      g_last, max_dup)
 
 
 def pack_features(mean2d, conic, opacity, rgb, depth,

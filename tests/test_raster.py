@@ -274,7 +274,9 @@ def test_slab_layout_invariants():
     )
     n = means.shape[0]
     gop = np.asarray(bins.gauss_of_pos)
-    poe = np.asarray(bins.pos_of_entry)
+    gsp = np.asarray(bins.gsort_pos)
+    gsf = np.asarray(bins.gseg_start)
+    glast = np.asarray(bins.g_last)
     idx = np.asarray(bins.index_matrix)
     pstart = np.asarray(bins.pstart_blk)
     counts = np.asarray(bins.counts)
@@ -282,10 +284,25 @@ def test_slab_layout_invariants():
     first = np.asarray(bins.seg_first)
     ecap = gop.shape[0]
     T = idx.shape[0]
-    # Every valid entry's slab position holds its gaussian id.
-    for e in range(poe.shape[0]):
-        if poe[e] < ecap:
-            assert gop[poe[e]] == e // D
+    # The gaussian-sorted view compacts each gaussian's slab positions into
+    # one contiguous segment (boundary-flagged, ending at g_last); segments
+    # are consecutive and the padding tail is sentinel-flagged.
+    assert gsf[0] == 1
+    seg_end_prev = -1
+    for g in range(n):
+        pos_set = set(np.nonzero(gop == g)[0].tolist())
+        if not pos_set:
+            assert glast[g] == ecap
+            continue
+        c = len(pos_set)
+        assert c <= D  # segments bounded by max_dup
+        last = int(glast[g])
+        start = last - c + 1
+        assert start == seg_end_prev + 1  # segments are consecutive
+        seg_end_prev = last
+        assert set(gsp[start:last + 1].tolist()) == pos_set
+        assert gsf[start] == 1
+        assert (gsf[start + 1:last + 1] == 0).all()
     # index_matrix rows coincide with the slab segments; padding rows are
     # the sentinel gaussian.
     for t in range(T):
