@@ -644,13 +644,18 @@ def pack_features_window(mean2d, conic, opacity, rgb, depth,
     XLA's TPU gather (measured 207-270 ms/iter vs 19 ms as small takes).
     The backward reduces per-position gradients through the gaussian-sorted
     slab view (_segsum_last) — occupancy-proportional, ~E_cap + N rows per
-    keyframe instead of N*max_dup."""
+    keyframe instead of N*max_dup.
+
+    The per-kf tables are built INSIDE the per-kf unrolled loop (not as one
+    vmapped (Wn, N+1, 16) stack): building the batched table and slicing it
+    per keyframe measured +20 ms/iter at window 8 vs fusing each table build
+    into its own gather (scripts/bench_pack.py, TPU v5e)."""
     Wn = gauss_of_pos_w.shape[0]
-    feats_full = jax.vmap(_stack_features)(
-        mean2d, conic, opacity, rgb, depth
-    )                                                    # (Wn, N+1, 16)
     rows = jnp.stack(
-        [jnp.take(feats_full[w], gauss_of_pos_w[w], axis=0)
+        [jnp.take(
+            _stack_features(mean2d[w], conic[w], opacity[w], rgb[w],
+                            depth[w]),
+            gauss_of_pos_w[w], axis=0)
          for w in range(Wn)]
     )                                                    # (Wn, E_cap, 16)
     rows = jax.lax.optimization_barrier(rows)

@@ -1,0 +1,84 @@
+"""Capture a device trace of one mapping_chunk and print top ops by time.
+
+Runs the ROADMAP mapping workload (window 8, 131072 cap / 80k live,
+640x480), captures a jax.profiler trace of one warm 8-iteration chunk, and
+aggregates TPU op durations from the trace-viewer JSON. Output guides
+kernel-level optimization (which XLA fusions / Pallas kernels dominate an
+85 ms mapping iteration).
+
+Run standalone on the TPU host (serialize with other TPU jobs).
+"""
+
+import glob
+import gzip
+import json
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+
+def main():
+    import jax
+
+    from monogs_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from bench_mapping import build_state
+    from monogs_tpu.slam.mapper import MapperConfig, mapping_chunk
+
+    state, intr = build_state()
+    cfg = MapperConfig(entry_capacity=210432)
+    n_steps = cfg.rebin_every
+
+    t0 = time.perf_counter()
+    st, aux = mapping_chunk(state, intr, cfg, False, n_steps)
+    _ = float(aux.loss)
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s")
+    st, aux = mapping_chunk(st, intr, cfg, False, n_steps)
+    _ = float(aux.loss)
+
+    logdir = "/tmp/mapping_trace"
+    jax.profiler.start_trace(logdir)
+    st, aux = mapping_chunk(st, intr, cfg, False, n_steps)
+    _ = float(aux.loss)
+    jax.profiler.stop_trace()
+
+    files = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
+    if not files:
+        print("no trace files found under", logdir)
+        return
+    with gzip.open(files[-1], "rt") as f:
+        trace = json.load(f)
+
+    # Aggregate complete events by name on TPU device tracks (pid of the
+    # device track carries 'TPU' in its process_name metadata).
+    pids = {}
+    for ev in trace["traceEvents"]:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pids[ev["pid"]] = ev["args"].get("name", "")
+    dev_pids = {p for p, n in pids.items() if "TPU" in n or "/device" in n}
+
+    durs = defaultdict(float)
+    counts = defaultdict(int)
+    total = 0.0
+    for ev in trace["traceEvents"]:
+        if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
+            continue
+        name = ev.get("name", "?")
+        dur = ev.get("dur", 0) / 1e3  # us -> ms
+        durs[name] += dur
+        counts[name] += 1
+        total += dur
+    print(f"\ntotal device op time in chunk: {total:.1f} ms "
+          f"({n_steps} iters -> {total / n_steps:.1f} ms/iter)")
+    print(f"{'op':70s} {'ms':>8s} {'n':>5s}")
+    for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{name[:70]:70s} {d:8.2f} {counts[name]:5d}")
+
+
+if __name__ == "__main__":
+    main()
