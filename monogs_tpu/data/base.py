@@ -91,12 +91,25 @@ class BaseDataset:
 
 class PreloadedDataset:
     """Full in-memory preload wrapper (reference dataset.py:376-394
-    `preload` option): frames are loaded once; attribute access delegates to
+    `preload` option, which preloads straight to GPU tensors): frames are
+    loaded once; with to_device=True the image arrays are placed on the
+    default JAX device up front (HBM permitting), so the SLAM loop never
+    pays a host->device transfer per frame. Attribute access delegates to
     the wrapped dataset."""
 
-    def __init__(self, dataset):
+    def __init__(self, dataset, to_device: bool = False):
         self._dataset = dataset
         self._frames = [dataset[i] for i in range(len(dataset))]
+        if to_device:
+            import jax
+
+            self._frames = [
+                {
+                    k: jax.device_put(v) if isinstance(v, np.ndarray) else v
+                    for k, v in f.items()
+                }
+                for f in self._frames
+            ]
 
     def __getattr__(self, name):
         return getattr(self._dataset, name)
@@ -109,6 +122,8 @@ class PreloadedDataset:
 
 
 def maybe_preload(dataset, config: dict):
-    if config.get("Dataset", {}).get("preload", False):
-        return PreloadedDataset(dataset)
+    """YAML `Dataset.preload`: false | true (host RAM) | "device" (HBM)."""
+    mode = config.get("Dataset", {}).get("preload", False)
+    if mode:
+        return PreloadedDataset(dataset, to_device=mode == "device")
     return dataset

@@ -48,6 +48,38 @@ from .mapper import (
 from .tracker import track_frame
 
 
+class _FramePrefetcher:
+    """Single-worker lookahead: while frame idx is being tracked/mapped on
+    device, frame idx+1 is loaded (disk -> decode -> device transfer) on a
+    host thread. Random access (refinement re-fetches) falls through to a
+    synchronous load."""
+
+    def __init__(self, load_fn):
+        import concurrent.futures
+
+        self._load = load_fn
+        self._pending: dict[int, object] = {}
+        self._ex = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="frame-prefetch"
+        )
+
+    def get(self, idx: int):
+        fut = self._pending.pop(idx, None)
+        frame = fut.result() if fut is not None else self._load(idx)
+        if idx + 1 not in self._pending:
+            # Bound stale lookaheads left behind by random-access fetches.
+            while len(self._pending) >= 4:
+                self._pending.pop(next(iter(self._pending))).result()
+            self._pending[idx + 1] = self._ex.submit(self._guarded, idx + 1)
+        return frame
+
+    def _guarded(self, idx: int):
+        try:
+            return self._load(idx)
+        except (IndexError, KeyError):  # past end of dataset
+            return None
+
+
 class SLAM:
     def __init__(
         self,
@@ -77,6 +109,15 @@ class SLAM:
         self.state: MapperState | None = None
         self.metrics = {"ate": [], "tracking_iters": [], "frame_times": []}
         self.viewer = None
+        # Frame prefetch (ROADMAP async-dispatch pipelining): disk IO, host
+        # decode, Scharr-mask prep and the host->device image transfer of
+        # frame idx+1 overlap the device steps of frame idx. The reference
+        # hides this latency behind its multi-process topology instead
+        # (dataset __getitem__ inside the tracker process, dataset.py:410).
+        self._prefetcher = (
+            _FramePrefetcher(self._load_frame_impl)
+            if self.scfg.prefetch else None
+        )
         # Multi-device window sharding (BASELINE config 5): the keyframe
         # window's leading axis shards across the mesh; the map replicates
         # and XLA all-reduces its gradients over ICI.
@@ -130,6 +171,12 @@ class SLAM:
     # -- frame plumbing ------------------------------------------------------
 
     def _load_frame(self, idx: int) -> Frame:
+        """Fetch frame idx, preferring the prefetcher's overlap pipeline."""
+        if self._prefetcher is not None:
+            return self._prefetcher.get(idx)
+        return self._load_frame_impl(idx)
+
+    def _load_frame_impl(self, idx: int) -> Frame:
         d = self.dataset[idx]
         frame = make_frame(
             idx, jnp.asarray(d["rgb"]),

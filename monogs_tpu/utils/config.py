@@ -170,6 +170,9 @@ class SystemConfig:
     # The map replicates; per-keyframe render+backward runs SPMD with the
     # Gaussian-gradient all-reduce inserted by XLA (parallel/mesh.py).
     mesh_devices: int = 0
+    # Overlap next-frame load/decode/transfer with device steps (host-thread
+    # lookahead; the reference hides this in its tracker process instead).
+    prefetch: bool = True
 
 
 def build_system_config(cfg: dict) -> SystemConfig:
@@ -182,4 +185,5 @@ def build_system_config(cfg: dict) -> SystemConfig:
         eval_every=g("Results", "save_trj_kf_intv", d=10),
         backend=g("System", "backend", d="pallas"),
         mesh_devices=g("System", "mesh_devices", d=0),
+        prefetch=g("System", "prefetch", d=True),
     )

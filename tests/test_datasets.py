@@ -78,6 +78,48 @@ def test_tum_preload(tmp_path):
     assert ds.intrinsics.fx == 50.0      # attribute delegation
 
 
+def test_tum_preload_device(tmp_path):
+    """preload: device places image arrays on the default JAX device
+    (reference dataset.py:376-394 preloads to GPU tensors)."""
+    import jax
+
+    root = str(tmp_path / "tum")
+    _write_tum_fixture(root)
+    from monogs_tpu.data import load_dataset
+
+    cfg = _tum_config(root)
+    cfg["Dataset"]["preload"] = "device"
+    ds = load_dataset(cfg)
+    d = ds[0]
+    assert isinstance(d["rgb"], jax.Array)
+    assert isinstance(d["pose"], jax.Array)
+    np.testing.assert_allclose(
+        np.asarray(ds[2]["pose"])[0, 3], -0.02, atol=1e-5
+    )
+
+
+def test_frame_prefetcher_matches_sync():
+    """The prefetcher returns identical frames in sequential and random
+    access patterns, bounded pending set."""
+    from monogs_tpu.slam.system import _FramePrefetcher
+
+    loads = []
+
+    def load(i):
+        if i >= 10:
+            raise IndexError(i)
+        loads.append(i)
+        return {"idx": i}
+
+    pf = _FramePrefetcher(load)
+    for i in range(10):
+        assert pf.get(i)["idx"] == i
+    # Random access (refinement pattern) still yields correct frames.
+    for i in [3, 7, 1, 9, 0, 5]:
+        assert pf.get(i)["idx"] == i
+    assert len(pf._pending) <= 4
+
+
 def _write_replica_fixture(root, n=3, w=64, h=48):
     os.makedirs(f"{root}/results", exist_ok=True)
     rng = np.random.RandomState(1)
