@@ -67,11 +67,15 @@ def render_projected(
     backend: str = "pallas",
     mean2d_dummy: jnp.ndarray | None = None,
     bins=None,
+    with_n_touched: bool = True,
 ) -> RenderOutput:
     """Rasterize already-projected Gaussians.
 
     `bins` may be a precomputed TileBins to freeze the (non-differentiable)
     tile assignment — e.g. to reuse binning across tracking iterations.
+    with_n_touched=False drops the per-Gaussian visibility count (kernel
+    skips its compute; the segment_sum scatter is skipped): use in hot loops
+    that only consume images/gradients.
     """
     N = proj.mean2d.shape[0]
     mean2d = proj.mean2d
@@ -103,7 +107,7 @@ def render_projected(
         )                                           # (16, E_cap)
         out, touched = composite_slab(
             feats_pos[None], bins.owner_blk, bins.seg_first, bins.pstart_blk,
-            bins.counts, cfg, tile_capacity,
+            bins.counts, cfg, tile_capacity, with_n_touched,
         )
 
     img = _assemble_image(out, cfg)                 # (H, W, 8)
@@ -112,11 +116,14 @@ def render_projected(
     if bg is not None:
         rgb = rgb + (1.0 - alpha)[:, :, None] * bg[None, None, :]
 
-    n_touched = jax.ops.segment_sum(
-        touched.reshape(-1),
-        bins.index_matrix.reshape(-1),
-        num_segments=N + 1,
-    )[:N]
+    if with_n_touched:
+        n_touched = jax.ops.segment_sum(
+            touched.reshape(-1),
+            bins.index_matrix.reshape(-1),
+            num_segments=N + 1,
+        )[:N]
+    else:
+        n_touched = jnp.zeros((N,), jnp.int32)
 
     return RenderOutput(
         rgb=rgb,
@@ -240,7 +247,7 @@ def render_window(
         ).reshape(-1)
         out, touched = composite_slab(
             feats, owner_g, firsts.reshape(-1), pstart_g,
-            counts.reshape(-1), cfg, tile_capacity,
+            counts.reshape(-1), cfg, tile_capacity, with_n_touched,
         )
 
     imgs = jax.vmap(lambda o: _assemble_image(o, cfg))(
@@ -291,6 +298,7 @@ def render(
     backend: str = "pallas",
     mean2d_dummy: jnp.ndarray | None = None,
     bins=None,
+    with_n_touched: bool = True,
 ) -> RenderOutput:
     """Full differentiable render (parity: gaussian_renderer/__init__.py:26).
 
@@ -310,5 +318,5 @@ def render(
     return render_projected(
         proj, cfg, bg=bg, tile_capacity=tile_capacity, max_dup=max_dup,
         entry_capacity=entry_capacity, backend=backend,
-        mean2d_dummy=mean2d_dummy, bins=bins,
+        mean2d_dummy=mean2d_dummy, bins=bins, with_n_touched=with_n_touched,
     )

@@ -232,8 +232,15 @@ def _block_extent(b, owner_ref, pstart_ref, counts_ref):
 
 
 def _slab_fwd_kernel(owner_ref, first_ref, pstart_ref, counts_ref,
-                     feats_ref, out_ref, touched_ref, logT_ref, *,
-                     cfg: RasterConfig, K: int):
+                     feats_ref, out_ref, *rest, cfg: RasterConfig, K: int,
+                     emit_touched: bool):
+    """emit_touched=False drops the n_touched path entirely (no per-chunk
+    count math, no (T+1, 8, K) output): both SLAM hot loops discard it —
+    visibility comes from dedicated renders at cadence boundaries."""
+    if emit_touched:
+        touched_ref, logT_ref = rest
+    else:
+        (logT_ref,) = rest
     P = cfg.pixels
     b = pl.program_id(0)
     t, base, nc = _block_extent(b, owner_ref, pstart_ref, counts_ref)
@@ -245,7 +252,8 @@ def _slab_fwd_kernel(owner_ref, first_ref, pstart_ref, counts_ref,
     @pl.when(first_ref[b] == 1)
     def _init():
         out_ref[0] = jnp.zeros((8, P), jnp.float32)
-        touched_ref[0] = jnp.zeros((8, K), jnp.int32)
+        if emit_touched:
+            touched_ref[0] = jnp.zeros((8, K), jnp.int32)
         logT_ref[...] = jnp.zeros((P, 1), jnp.float32)
 
     def body(j, carry):
@@ -274,11 +282,12 @@ def _slab_fwd_kernel(owner_ref, first_ref, pstart_ref, counts_ref,
                 colors_t, w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                 # (8, P)
-            cnt = jnp.sum(
-                (ok & (Tk > TOUCH_T_MIN) & pix_valid).astype(jnp.int32),
-                axis=0, keepdims=True,
-            )                                 # (1, CHUNK)
-            touched_ref[0, 0:1, pl.ds((base + j) * CHUNK, CHUNK)] = cnt
+            if emit_touched:
+                cnt = jnp.sum(
+                    (ok & (Tk > TOUCH_T_MIN) & pix_valid).astype(jnp.int32),
+                    axis=0, keepdims=True,
+                )                             # (1, CHUNK)
+                touched_ref[0, 0:1, pl.ds((base + j) * CHUNK, CHUNK)] = cnt
             logT = logT + jnp.sum(log1m, axis=1, keepdims=True)
             return logT, acc
 
@@ -411,14 +420,26 @@ def _pad_tile_scalars(pstart_blk, counts):
 
 
 def _fwd_slab(feats_cm, owner_blk, seg_first, pstart_blk, counts,
-              cfg: RasterConfig, K: int):
+              cfg: RasterConfig, K: int, emit_touched: bool = True):
     Tt = pstart_blk.shape[0]
     P = cfg.pixels
     n_img, _, E_cap = feats_cm.shape
     eb_img = E_cap // SLAB
     EB = n_img * eb_img
     pstart_p, counts_p = _pad_tile_scalars(pstart_blk, counts)
-    kern = functools.partial(_slab_fwd_kernel, cfg=cfg, K=K)
+    kern = functools.partial(_slab_fwd_kernel, cfg=cfg, K=K,
+                             emit_touched=emit_touched)
+    out_specs = [
+        pl.BlockSpec((1, 8, P), lambda b, owner, *_: (owner[b], 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((Tt + 1, 8, P), jnp.float32)]
+    if emit_touched:
+        out_specs.append(
+            pl.BlockSpec((1, 8, K), lambda b, owner, *_: (owner[b], 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((Tt + 1, 8, K), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(EB,),
@@ -427,29 +448,24 @@ def _fwd_slab(feats_cm, owner_blk, seg_first, pstart_blk, counts,
                          lambda b, *_: (b // eb_img, 0, b % eb_img),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 8, P), lambda b, owner, *_: (owner[b], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, K), lambda b, owner, *_: (owner[b], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((P, 1), jnp.float32)],
     )
-    out, touched8 = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((Tt + 1, 8, P), jnp.float32),
-            jax.ShapeDtypeStruct((Tt + 1, 8, K), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=_interpret_mode(),
     )(owner_blk, seg_first, pstart_p, counts_p, feats_cm)
     # Rows of empty tiles were never visited: mask them to zero (jnp.where,
     # not multiply, so uninitialized NaN patterns cannot leak through).
     nonempty = counts > 0
-    out = jnp.where(nonempty[:, None, None], out[:Tt], 0.0)
+    out = jnp.where(nonempty[:, None, None], outs[0][:Tt], 0.0)
     out = out.transpose(0, 2, 1)              # (Tt, P, 8)
-    touched = jnp.where(nonempty[:, None], touched8[:Tt, 0, :], 0)
+    if emit_touched:
+        touched = jnp.where(nonempty[:, None], outs[1][:Tt, 0, :], 0)
+    else:
+        touched = jnp.zeros((Tt, K), jnp.int32)
     return out, touched
 
 
@@ -505,32 +521,34 @@ def _interpret_mode() -> bool:
 # --- custom_vjp wrapper -----------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def composite_slab(feats_cm: jnp.ndarray, owner_blk: jnp.ndarray,
                    seg_first: jnp.ndarray, pstart_blk: jnp.ndarray,
                    counts: jnp.ndarray, cfg: RasterConfig,
-                   tile_capacity: int):
+                   tile_capacity: int, emit_touched: bool = True):
     """Differentiable slab compositing.
 
     feats_cm: (n_img, 16, entry_capacity) channel-major slab features
     owner_blk / seg_first: (total_blocks,) per-SLAB-block owner (GLOBAL tile
         id, sentinel T_total) and owner-boundary flags
     pstart_blk / counts: (T_total,) per-tile block start / entry count
+    emit_touched=False skips the n_touched compute + output in the kernel
+        (the hot SLAM loops discard it); `touched` is then all-zero.
     -> (out (T_total, P, 8), touched (T_total, K) int32)
     """
     return _fwd_slab(feats_cm, owner_blk, seg_first, pstart_blk, counts,
-                     cfg, tile_capacity)
+                     cfg, tile_capacity, emit_touched)
 
 
 def _composite_fwd(feats_cm, owner_blk, seg_first, pstart_blk, counts,
-                   cfg, K):
+                   cfg, K, emit_touched):
     out, touched = _fwd_slab(feats_cm, owner_blk, seg_first, pstart_blk,
-                             counts, cfg, K)
+                             counts, cfg, K, emit_touched)
     return (out, touched), (feats_cm, owner_blk, seg_first, pstart_blk,
                             counts, out)
 
 
-def _composite_bwd(cfg, K, res, cotangents):
+def _composite_bwd(cfg, K, emit_touched, res, cotangents):
     feats_cm, owner_blk, seg_first, pstart_blk, counts, out = res
     g_out, _ = cotangents  # touched is non-differentiable
     g5 = g_out[:, :, 0:5]

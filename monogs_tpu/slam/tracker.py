@@ -144,6 +144,10 @@ def track_frame(
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
             entry_capacity=cfg.entry_capacity,
             backend=cfg.backend, bins=bins,
+            # The loss loop never reads n_touched; skipping it removes the
+            # per-chunk count math + (T+1,8,K) writes from the fwd kernel
+            # (visibility comes from the final render below).
+            with_n_touched=False,
         )
         loss = get_loss_tracking(
             out.rgb, out.depth, out.opacity,

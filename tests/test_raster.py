@@ -126,6 +126,22 @@ def test_image_nontrivial():
     assert int(jnp.sum(out.n_touched > 0)) > 10
 
 
+def test_pallas_without_n_touched_matches():
+    """with_n_touched=False (hot-loop kernel variant): identical images,
+    zero n_touched."""
+    intr = _intr()
+    means, scales, quats, opac, rgb = _scene(seed=1)
+    R, t = _pose()
+    o_full = render(means, scales, quats, opac, rgb, R, t, intr,
+                    tile_capacity=CAP, backend="pallas")
+    o_nt = render(means, scales, quats, opac, rgb, R, t, intr,
+                  tile_capacity=CAP, backend="pallas", with_n_touched=False)
+    np.testing.assert_array_equal(o_nt.rgb, o_full.rgb)
+    np.testing.assert_array_equal(o_nt.depth, o_full.depth)
+    np.testing.assert_array_equal(o_nt.opacity, o_full.opacity)
+    assert int(jnp.sum(o_nt.n_touched)) == 0
+
+
 def test_pallas_interpret_matches_ref():
     intr = _intr()
     means, scales, quats, opac, rgb = _scene(seed=1)
