@@ -202,18 +202,47 @@ def _tile_origin_of(t, cfg: RasterConfig):
     return ox, oy
 
 
-def _chunk_alpha(tf, ox, oy, x, y):
+# Experiment (measured REGRESSION, keep off): evaluate the per-(pixel, slot)
+# quadratic `power` as one MXU matmul against the (P, 6) pixel basis instead
+# of ~11 VPU elementwise (P, CHUNK) ops. Tracking measured 11.2 ms/iter vs
+# 9.9 direct (TPU v5e, 2026-08-19): the K=6 contraction occupies the
+# 128-deep systolic array like a full K=128 matmul, and Precision.HIGHEST
+# (needed because the expanded form cancels ~|u_tile|^2-magnitude terms)
+# multiplies that by the f32 pass count — costlier than the VPU ops it
+# replaces. Numerics were fine (<=2.4e-6 image deviation on the test scenes).
+MXU_POWER = os.environ.get("MONOGS_MXU_POWER", "0") == "1"
+
+
+def _chunk_alpha(tf, ox, oy, x, y, basis=None):
     """Shared per-chunk alpha computation on a (16, CHUNK) slab. Returns
-    tile-local (u, v), conic rows, opacity row, exp(power), alpha."""
+    tile-local (u, v), conic rows, opacity row, exp(power), alpha.
+
+    With basis (P, 6) rows [x^2, xy, y^2, x, y, 1] (and MXU_POWER on), the
+    quadratic is evaluated as basis @ C6 on the MXU."""
     u = tf[0:1, :] - ox                      # (1, CHUNK) tile-local
     v = tf[1:2, :] - oy
     a = tf[2:3, :]
     b = tf[3:4, :]
     c = tf[4:5, :]
     opa = tf[5:6, :]
-    dx = x - u                               # (P, CHUNK)
-    dy = y - v
-    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    if basis is not None and MXU_POWER:
+        # power = -0.5 a x^2 - b xy - 0.5 c y^2 + (a u + b v) x
+        #         + (b u + c v) y - 0.5 (a u^2 + 2 b u v + c v^2)
+        au, bv, bu, cv = a * u, b * v, b * u, c * v
+        C6 = jnp.concatenate(
+            [-0.5 * a, -b, -0.5 * c, au + bv, bu + cv,
+             -0.5 * (au * u + 2.0 * bu * v + cv * v)],
+            axis=0,
+        )                                    # (6, CHUNK)
+        power = jax.lax.dot_general(
+            basis, C6, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                    # (P, CHUNK)
+    else:
+        dx = x - u                           # (P, CHUNK)
+        dy = y - v
+        power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
     expp = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = opa * expp
     ok = (power <= 0.0) & (alpha_raw >= ALPHA_EPS)
@@ -245,7 +274,7 @@ def _slab_fwd_kernel(owner_ref, first_ref, pstart_ref, counts_ref,
     b = pl.program_id(0)
     t, base, nc = _block_extent(b, owner_ref, pstart_ref, counts_ref)
     ox, oy = _tile_origin_of(t, cfg)
-    x, y, _ = _pix_basis(cfg)
+    x, y, basis = _pix_basis(cfg)
     strict, _ = _tri_matrices()
     pix_valid = ((ox + x - 0.5) < cfg.img_w) & ((oy + y - 0.5) < cfg.img_h)
 
@@ -262,7 +291,9 @@ def _slab_fwd_kernel(owner_ref, first_ref, pstart_ref, counts_ref,
         def live(carry):
             logT, acc = carry
             tf = feats_ref[0, :, pl.ds(j * CHUNK, CHUNK)]  # (16, CHUNK)
-            _, _, _, _, _, _, _, _, ok, alpha = _chunk_alpha(tf, ox, oy, x, y)
+            _, _, _, _, _, _, _, _, ok, alpha = _chunk_alpha(
+                tf, ox, oy, x, y, basis
+            )
             log1m = jnp.log1p(-alpha)
             excl = jax.lax.dot_general(
                 log1m, strict, (((1,), (0,)), ((), ())),
@@ -334,7 +365,7 @@ def _slab_bwd_kernel(owner_ref, first_ref, pstart_ref, counts_ref,
             logT, wg_pref = carry
             tf = feats_ref[0, :, pl.ds(j * CHUNK, CHUNK)]  # (16, CHUNK)
             u, v, a, bb, c, opa, expp, alpha_raw, ok, alpha = _chunk_alpha(
-                tf, ox, oy, x, y
+                tf, ox, oy, x, y, basis
             )
             log1m = jnp.log1p(-alpha)
             excl = jax.lax.dot_general(

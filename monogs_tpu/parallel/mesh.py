@@ -37,14 +37,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_mapper_state(state, mesh: Mesh):
+def gaussian_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (gaussian capacity) axis sharded across devices — used for
+    the ZeRO-style sharded optimizer state."""
+    return NamedSharding(mesh, P(WINDOW_AXIS))
+
+
+def shard_mapper_state(state, mesh: Mesh, shard_optimizer: bool = True):
     """Place a MapperState on the mesh: window + pose-optimizer leaves
-    sharded on their leading (window) axis, map/Adam replicated."""
+    sharded on their leading (window) axis, map replicated.
+
+    shard_optimizer=True additionally shards the Gaussian Adam moments on
+    their leading (capacity) axis — the ZeRO-2 recipe: XLA's SPMD
+    partitioner then lowers the Gaussian-gradient all-reduce into a
+    reduce-scatter feeding a 1/n-per-device Adam update, followed by an
+    all-gather of the updated parameters (same ICI bytes as the all-reduce,
+    but the moment math and memory divide by the mesh size). Falls back to
+    replication when the capacity doesn't divide the mesh."""
     win_s = window_sharding(mesh)
     rep = replicated(mesh)
+    n = mesh.devices.size
 
     def place(x, sharding):
         return jax.device_put(x, sharding)
+
+    def place_adam(x):
+        if (shard_optimizer and getattr(x, "ndim", 0) >= 1
+                and x.shape[0] % n == 0):
+            return place(x, gaussian_sharding(mesh))
+        return place(x, rep)
 
     window = jax.tree.map(lambda x: place(x, win_s), state.window)
     pose_adam = type(state.pose_adam)(
@@ -53,7 +74,11 @@ def shard_mapper_state(state, mesh: Mesh):
     )
     return state._replace(
         gmap=jax.tree.map(lambda x: place(x, rep), state.gmap),
-        adam=jax.tree.map(lambda x: place(x, rep), state.adam),
+        adam=type(state.adam)(
+            mu=jax.tree.map(place_adam, state.adam.mu),
+            nu=jax.tree.map(place_adam, state.adam.nu),
+            step=place(state.adam.step, rep),
+        ),
         window=window,
         pose_adam=pose_adam,
         nr_iters=place(state.nr_iters, rep),

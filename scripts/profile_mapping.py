@@ -76,8 +76,25 @@ def main():
     print(f"\ntotal device op time in chunk: {total:.1f} ms "
           f"({n_steps} iters -> {total / n_steps:.1f} ms/iter)")
     print(f"{'op':70s} {'ms':>8s} {'n':>5s}")
-    for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:40]:
+    ranked = sorted(durs.items(), key=lambda kv: -kv[1])
+    for name, d in ranked[:40]:
         print(f"{name[:70]:70s} {d:8.2f} {counts[name]:5d}")
+
+    # Tail composition by op-class (strip trailing .N id).
+    import re
+
+    classes = defaultdict(float)
+    for name, d in ranked[40:]:
+        classes[re.sub(r"[.\d]+$", "", name)] += d
+    tail = sum(d for _, d in ranked[40:])
+    print(f"\ntail (ops beyond top-40): {tail:.1f} ms, by class:")
+    for name, d in sorted(classes.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"  {name[:66]:66s} {d:8.2f}")
+
+    with open("/tmp/mapping_trace_ops.txt", "w") as f:
+        for name, d in ranked:
+            f.write(f"{d:10.3f} {counts[name]:6d} {name}\n")
+    print("\nfull op list -> /tmp/mapping_trace_ops.txt")
 
 
 if __name__ == "__main__":

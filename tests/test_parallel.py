@@ -65,25 +65,33 @@ def test_sharded_step_matches_single_device(mesh8):
 
     # Single-device result.
     s1, aux1 = mapping_step(state, intr, cfg, init=False)
-    # Sharded result.
-    sh = shard_mapper_state(state, mesh8)
-    s2, aux2 = mapping_step(sh, intr, cfg, init=False)
+    # Sharded result — once with the ZeRO-style sharded Adam moments
+    # (default) and once with replicated moments.
+    for shard_opt in (True, False):
+        sh = shard_mapper_state(state, mesh8, shard_optimizer=shard_opt)
+        s2, aux2 = mapping_step(sh, intr, cfg, init=False)
 
-    np.testing.assert_allclose(float(aux1.loss), float(aux2.loss), rtol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(s1.gmap.params["xyz"]), np.asarray(s2.gmap.params["xyz"]),
-        atol=1e-5,
-    )
-    np.testing.assert_allclose(
-        np.asarray(s1.window.frames.t), np.asarray(s2.window.frames.t),
-        atol=1e-6,
-    )
-    # The window really was sharded across the 8 devices.
-    shardings = {
-        str(d.sharding.spec)
-        for d in [s2.window.frames.rgb]
-    }
-    assert any("win" in s for s in shardings), shardings
+        np.testing.assert_allclose(
+            float(aux1.loss), float(aux2.loss), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.gmap.params["xyz"]),
+            np.asarray(s2.gmap.params["xyz"]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.adam.mu["xyz"]), np.asarray(s2.adam.mu["xyz"]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.window.frames.t), np.asarray(s2.window.frames.t),
+            atol=1e-6,
+        )
+        # The window really was sharded across the 8 devices.
+        assert "win" in str(s2.window.frames.rgb.sharding.spec)
+        if shard_opt:
+            # Moments placed shard-wise on the capacity axis (512 % 8 == 0).
+            assert "win" in str(sh.adam.mu["xyz"].sharding.spec)
 
 
 def test_sharded_slam_e2e(mesh8):
