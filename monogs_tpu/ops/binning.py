@@ -92,7 +92,7 @@ def auto_entry_capacity(n: int, max_dup: int, num_tiles: int,
                      "max_dup", "entry_capacity"),
 )
 def tile_bin(
-    mean2d: jnp.ndarray,   # (N,2) pixel coords
+    mean2d: jnp.ndarray,   # (N,2) pixel coords, or None with uv=
     radius: jnp.ndarray,   # (N,) screen radius (0 => culled)
     depth: jnp.ndarray,    # (N,)
     valid: jnp.ndarray,    # (N,) bool
@@ -103,9 +103,16 @@ def tile_bin(
     max_dup: int = 16,
     entry_capacity: int | None = None,
     opacity: jnp.ndarray | None = None,   # (N,) activated; enables peak cull
-    conic: jnp.ndarray | None = None,     # (N,3) 2D conic (a, b, c)
+    conic: jnp.ndarray | None = None,     # (N,3) 2D conic (a, b, c), or
+                                          #   ((N,),)*3 channel tuple
+    uv: tuple | None = None,              # ((N,), (N,)) channel alternative
+                                          #   to mean2d (hot path: no stack)
 ) -> TileBins:
-    N = mean2d.shape[0]
+    if uv is not None:
+        u, v = uv
+    else:
+        u, v = mean2d[:, 0], mean2d[:, 1]
+    N = u.shape[0]
     tiles_x = -(-img_w // tile_size)
     tiles_y = -(-img_h // tile_size)
     T = tiles_x * tiles_y
@@ -118,11 +125,11 @@ def tile_bin(
     P_cap = entry_capacity
     EB = P_cap // SLAB               # grid blocks
 
-    mean2d = jax.lax.stop_gradient(mean2d)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
     radius = jax.lax.stop_gradient(radius)
     depth = jax.lax.stop_gradient(depth)
 
-    u, v = mean2d[:, 0], mean2d[:, 1]
     x0 = jnp.clip(jnp.floor((u - radius) / tile_size), 0, tiles_x).astype(jnp.int32)
     x1 = jnp.clip(jnp.ceil((u + radius + 1) / tile_size), 0, tiles_x).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((v - radius) / tile_size), 0, tiles_y).astype(jnp.int32)
@@ -148,9 +155,13 @@ def tile_bin(
         # clamped maximizer. Exact => drops precisely the all-zero tiles.
         opacity = jax.lax.stop_gradient(opacity)
         conic = jax.lax.stop_gradient(conic)
-        ca = jnp.maximum(conic[:, 0], 1e-12)[:, None]          # (N,1)
-        cb = conic[:, 1][:, None]
-        cc = jnp.maximum(conic[:, 2], 1e-12)[:, None]
+        if isinstance(conic, tuple):
+            c0, c1, c2 = conic
+        else:
+            c0, c1, c2 = conic[:, 0], conic[:, 1], conic[:, 2]
+        ca = jnp.maximum(c0, 1e-12)[:, None]                   # (N,1)
+        cb = c1[:, None]
+        cc = jnp.maximum(c2, 1e-12)[:, None]
         lx = tx.astype(jnp.float32) * tile_size - u[:, None]   # (N,D)
         hx = lx + tile_size
         ly = ty.astype(jnp.float32) * tile_size - v[:, None]

@@ -97,9 +97,16 @@ def get_loss_tracking(
     exposure_a: jnp.ndarray,      # scalar
     exposure_b: jnp.ndarray,      # scalar
     opacity_threshold: float = 0.99,
+    rgb_npix: int | None = None,
 ) -> jnp.ndarray:
     """Tracking loss (slam_utils.py:58-98): opacity-weighted masked L1 on
     exposure-corrected RGB + masked L1 depth; 0.5 * l1_rgb + l1_depth.
+
+    Inputs may be in the rasterizer's (T, P) tile layout instead of (H, W):
+    every term is a per-pixel sum, so the layout is irrelevant as long as
+    tile padding is masked out (gt_mask False, gt_depth 0 there) and
+    `rgb_npix` gives the true H*W pixel count for the unmasked-mean rgb
+    normalization (tile layouts have >= H*W elements).
 
     Notes vs the reference: (1) the fork computes
     `mean(|diff*mask|) * mean(opacity)` due to a misplaced .mean(); we
@@ -116,9 +123,13 @@ def get_loss_tracking(
         * grad_mask.astype(rgb.dtype)
         * opacity_mask.astype(rgb.dtype)
     )[..., None]
-    l1_rgb = jnp.mean(
-        render_opacity[..., None] * jnp.abs(rgb * rgb_mask - gt_rgb * rgb_mask)
+    rgb_terms = render_opacity[..., None] * jnp.abs(
+        rgb * rgb_mask - gt_rgb * rgb_mask
     )
+    if rgb_npix is None:
+        l1_rgb = jnp.mean(rgb_terms)
+    else:
+        l1_rgb = jnp.sum(rgb_terms) / (3.0 * rgb_npix)
     depth_mask = (gt_depth > 0) & opacity_mask
     l1_depth = masked_mean(jnp.abs(render_depth - gt_depth), depth_mask)
     return 0.5 * l1_rgb + l1_depth

@@ -44,6 +44,26 @@ class ProjectedGaussians(NamedTuple):
     valid: jnp.ndarray    # (N,) bool — in frustum, invertible, non-culled
 
 
+class ProjectedChannels(NamedTuple):
+    """Scalar-channel projection output for the hot rasterization path.
+
+    Same content as ProjectedGaussians but WITHOUT the (N,2)/(N,3) stacks:
+    every per-Gaussian quantity stays an (N,) lane-efficient channel. The
+    stack (fwd) + split (bwd) pairs around mean2d/conic measured ~5 ms per
+    mapping iteration at window 8 (HLO-profiled slice_reduce fusions) —
+    downstream consumers (binning, feature pack) want channels anyway."""
+
+    u: jnp.ndarray        # (N,) pixel x
+    v: jnp.ndarray        # (N,) pixel y
+    ca: jnp.ndarray       # (N,) conic a
+    cb: jnp.ndarray       # (N,) conic b
+    cc: jnp.ndarray       # (N,) conic c
+    depth: jnp.ndarray    # (N,)
+    radius: jnp.ndarray   # (N,)
+    opacity: jnp.ndarray  # (N,)
+    valid: jnp.ndarray    # (N,) bool
+
+
 def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
     """(N,3) scales (already exp-activated), (N,4) wxyz quats -> (N,3,3).
 
@@ -56,19 +76,18 @@ def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
     return M @ jnp.swapaxes(M, -1, -2)
 
 
-def project_gaussians(
+def project_gaussians_ch(
     means3d: jnp.ndarray,     # (N,3) world
     scales: jnp.ndarray,      # (N,3) activated (exp) scales
     quats: jnp.ndarray,       # (N,4) unnormalized wxyz
     opacities: jnp.ndarray,   # (N,) activated (sigmoid)
-    rgbs: jnp.ndarray,        # (N,3)
     R_w2c: jnp.ndarray,       # (3,3) base world-to-camera rotation
     t_w2c: jnp.ndarray,       # (3,)
     rho: jnp.ndarray,         # (3,) translation delta on se(3)
     theta: jnp.ndarray,       # (3,) rotation delta on se(3)
     intr: Intrinsics,
     active: jnp.ndarray | None = None,  # (N,) bool capacity mask
-) -> ProjectedGaussians:
+) -> ProjectedChannels:
     """Project Gaussians to screen space through the pose retraction.
 
     The camera used is SE3_exp([rho, theta]) @ (R_w2c|t_w2c) — identical to
@@ -142,7 +161,6 @@ def project_gaussians(
     det = c00 * c11 - c01 * c01
     det_safe = jnp.where(det > 0, det, 1.0)
     inv_det = 1.0 / det_safe
-    conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], axis=-1)
 
     # Screen radius: 3 * sqrt(max eigenvalue of cov2D) (CUDA convention).
     mid = 0.5 * (c00 + c11)
@@ -157,12 +175,41 @@ def project_gaussians(
     if active is not None:
         valid = valid & active
 
-    return ProjectedGaussians(
-        mean2d=jnp.stack([u, v], axis=-1),
+    return ProjectedChannels(
+        u=u, v=v,
+        ca=c11 * inv_det, cb=-c01 * inv_det, cc=c00 * inv_det,
         depth=z,
-        conic=conic,
         radius=jnp.where(valid, radius, 0.0),
-        rgb=rgbs,
         opacity=opacities,
         valid=valid,
+    )
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    rgbs: jnp.ndarray,        # (N,3) passed through
+    R_w2c: jnp.ndarray,
+    t_w2c: jnp.ndarray,
+    rho: jnp.ndarray,
+    theta: jnp.ndarray,
+    intr: Intrinsics,
+    active: jnp.ndarray | None = None,
+) -> ProjectedGaussians:
+    """Matrix-shaped wrapper over project_gaussians_ch (general API; the hot
+    rasterization path consumes the channel form directly)."""
+    p = project_gaussians_ch(
+        means3d, scales, quats, opacities, R_w2c, t_w2c, rho, theta, intr,
+        active=active,
+    )
+    return ProjectedGaussians(
+        mean2d=jnp.stack([p.u, p.v], axis=-1),
+        depth=p.depth,
+        conic=jnp.stack([p.ca, p.cb, p.cc], axis=-1),
+        radius=p.radius,
+        rgb=rgbs,
+        opacity=p.opacity,
+        valid=p.valid,
     )

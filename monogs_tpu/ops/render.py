@@ -25,7 +25,12 @@ import jax.numpy as jnp
 
 from .binning import SLAB, tile_bin
 from .graphics import Intrinsics
-from .projection import ProjectedGaussians, project_gaussians
+from .projection import (
+    ProjectedChannels,
+    ProjectedGaussians,
+    project_gaussians,
+    project_gaussians_ch,
+)
 from .tile_raster import (
     RasterConfig,
     composite_slab,
@@ -56,10 +61,35 @@ def _assemble_image(out: jnp.ndarray, cfg: RasterConfig) -> jnp.ndarray:
     return img[: cfg.img_h, : cfg.img_w]
 
 
+def tile_image(img: jnp.ndarray, cfg: RasterConfig) -> jnp.ndarray:
+    """(H, W[, C]) image -> (T, P[, C]) tile layout (_assemble_image's
+    inverse; out-of-image pixels zero/False-padded).
+
+    Purpose: the mapping hot loop computes its loss directly in tile space
+    (the losses are per-pixel sums, so the layout is irrelevant as long as
+    padding is masked out) — ground-truth images are tiled ONCE per chunk,
+    removing the per-iteration (T,P,8)->(H,W,8) assemble and its backward
+    (~3.5 ms/iter of pure layout copies at window 8, HLO-profiled)."""
+    ts = cfg.tile_size
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    C = img.shape[-1]
+    pad_h = cfg.tiles_y * ts - img.shape[0]
+    pad_w = cfg.tiles_x * ts - img.shape[1]
+    img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)))
+    img = img.reshape(cfg.tiles_y, ts, cfg.tiles_x, ts, C)
+    tiles = img.transpose(0, 2, 1, 3, 4).reshape(
+        cfg.num_tiles, cfg.pixels, C
+    )
+    return tiles[..., 0] if squeeze else tiles
+
+
 def render_projected(
-    proj: ProjectedGaussians,
+    proj: ProjectedGaussians | ProjectedChannels,
     cfg: RasterConfig,
     *,
+    rgbs: jnp.ndarray | None = None,   # (N,3); required with ProjectedChannels
     bg: jnp.ndarray | None = None,
     tile_capacity: int = 512,
     max_dup: int = 16,
@@ -68,40 +98,55 @@ def render_projected(
     mean2d_dummy: jnp.ndarray | None = None,
     bins=None,
     with_n_touched: bool = True,
+    assemble: bool = True,
 ) -> RenderOutput:
     """Rasterize already-projected Gaussians.
 
+    `proj` may be the scalar-channel form (ProjectedChannels + rgbs) — the
+    hot path, no (N,2)/(N,3) stacks — or the matrix ProjectedGaussians.
     `bins` may be a precomputed TileBins to freeze the (non-differentiable)
     tile assignment — e.g. to reuse binning across tracking iterations.
     with_n_touched=False drops the per-Gaussian visibility count (kernel
     skips its compute; the segment_sum scatter is skipped): use in hot loops
     that only consume images/gradients.
+    assemble=False returns rgb/depth/opacity in TILE layout — rgb (T, P, 3),
+    depth/opacity (T, P) — skipping the tile->image shuffle and its
+    backward transpose; pair with `tile_image`d ground truth.
     """
-    N = proj.mean2d.shape[0]
-    mean2d = proj.mean2d
+    if isinstance(proj, ProjectedChannels):
+        assert rgbs is not None, "rgbs required with ProjectedChannels"
+        u, v = proj.u, proj.v
+        conic_ch = (proj.ca, proj.cb, proj.cc)
+    else:
+        rgbs = proj.rgb
+        u, v = proj.mean2d[:, 0], proj.mean2d[:, 1]
+        conic_ch = (proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2])
     if mean2d_dummy is not None:
-        mean2d = mean2d + mean2d_dummy
+        u = u + mean2d_dummy[:, 0]
+        v = v + mean2d_dummy[:, 1]
+    N = u.shape[0]
 
     if bins is None:
         bins = tile_bin(
-            mean2d, proj.radius, proj.depth, proj.valid,
+            None, proj.radius, proj.depth, proj.valid,
             img_w=cfg.img_w, img_h=cfg.img_h, tile_size=cfg.tile_size,
             tile_capacity=tile_capacity, max_dup=max_dup,
             entry_capacity=entry_capacity,
             opacity=jnp.where(proj.valid, proj.opacity, 0.0),
-            conic=proj.conic,
+            conic=conic_ch, uv=(u, v),
         )
 
     opacity = jnp.where(proj.valid, proj.opacity, 0.0)
     if backend == "ref":
         feats = pack_features(
-            mean2d, proj.conic, opacity, proj.rgb, proj.depth,
+            jnp.stack([u, v], axis=-1),
+            jnp.stack(conic_ch, axis=-1), opacity, rgbs, proj.depth,
             bins.index_matrix,
         )                                           # (T, K, 16)
         out, touched = composite_tiles_ref(feats, cfg)
     else:
         feats_pos = pack_features_slab(
-            mean2d, proj.conic, opacity, proj.rgb, proj.depth,
+            u, v, *conic_ch, opacity, rgbs, proj.depth,
             bins.gauss_of_pos, bins.gsort_pos, bins.gseg_start, bins.g_last,
             max_dup,
         )                                           # (16, E_cap)
@@ -110,11 +155,11 @@ def render_projected(
             bins.counts, cfg, tile_capacity, with_n_touched,
         )
 
-    img = _assemble_image(out, cfg)                 # (H, W, 8)
-    alpha = img[:, :, 4]
-    rgb = img[:, :, 0:3]
+    img = _assemble_image(out, cfg) if assemble else out   # (H,W,8)|(T,P,8)
+    alpha = img[..., 4]
+    rgb = img[..., 0:3]
     if bg is not None:
-        rgb = rgb + (1.0 - alpha)[:, :, None] * bg[None, None, :]
+        rgb = rgb + (1.0 - alpha)[..., None] * bg
 
     if with_n_touched:
         n_touched = jax.ops.segment_sum(
@@ -127,7 +172,7 @@ def render_projected(
 
     return RenderOutput(
         rgb=rgb,
-        depth=img[:, :, 3],
+        depth=img[..., 3],
         opacity=alpha,
         n_touched=n_touched,
         radii=proj.radius,
@@ -163,12 +208,18 @@ def render_window(
     max_dup: int = 16,
     entry_capacity: int | None = None,
     backend: str = "pallas",
-    mean2d_dummy: jnp.ndarray | None = None,  # (W, N, 2) per-kf screen hook
+    mean2d_dummy=None,   # (W, N, 2) array or ((W, N), (W, N)) channel pair
     bins=None,   # optional vmapped TileBins (leading window axis)
     with_n_touched: bool = True,
+    assemble: bool = True,
 ) -> WindowRenderOutput:
     """Batched multi-view render: the mapper's whole keyframe window in ONE
     rasterizer launch.
+
+    assemble=False returns rgb/depth/opacity in TILE layout — rgb
+    (W, T, P, 3), depth/opacity (W, T, P) — skipping the tile->image
+    shuffle and (in the backward) its transpose; pair with `tile_image`d
+    ground truth for loss computation.
 
     TPU-first replacement for the reference mapper's serial per-keyframe
     render loop (slam_mapper.py:273-322): every keyframe's tiles are
@@ -182,33 +233,42 @@ def render_window(
     N = means3d.shape[0]
     cfg = make_raster_config(intr.width, intr.height, tile_size)
     if mean2d_dummy is None:
-        mean2d_dummy = jnp.zeros((Wn, N, 2), means3d.dtype)
+        z = jnp.zeros((Wn, N), means3d.dtype)
+        dum_u, dum_v = z, z
+    elif isinstance(mean2d_dummy, tuple):
+        dum_u, dum_v = mean2d_dummy      # (W, N) channel pair — hot path
+    else:
+        dum_u, dum_v = mean2d_dummy[..., 0], mean2d_dummy[..., 1]
 
-    def per_kf(R, t, rho, theta, dummy, bins_kf):
-        proj = project_gaussians(
-            means3d, scales, quats, opacities, rgbs, R, t, rho, theta, intr,
+    def per_kf(R, t, rho, theta, du, dv, bins_kf):
+        proj = project_gaussians_ch(
+            means3d, scales, quats, opacities, R, t, rho, theta, intr,
             active=active,
         )
-        mean2d = proj.mean2d + dummy
+        u = proj.u + du
+        v = proj.v + dv
+        conic_ch = (proj.ca, proj.cb, proj.cc)
         if bins_kf is None:
             bins_kf = tile_bin(
-                mean2d, proj.radius, proj.depth, proj.valid,
+                None, proj.radius, proj.depth, proj.valid,
                 img_w=cfg.img_w, img_h=cfg.img_h, tile_size=cfg.tile_size,
                 tile_capacity=tile_capacity, max_dup=max_dup,
                 entry_capacity=entry_capacity,
                 opacity=jnp.where(proj.valid, proj.opacity, 0.0),
-                conic=proj.conic,
+                conic=conic_ch, uv=(u, v),
             )
         opa = jnp.where(proj.valid, proj.opacity, 0.0)
         if backend == "ref":
             feats = pack_features(
-                mean2d, proj.conic, opa, proj.rgb, proj.depth,
-                bins_kf.index_matrix,
+                jnp.stack([u, v], axis=-1), jnp.stack(conic_ch, axis=-1),
+                opa, rgbs, proj.depth, bins_kf.index_matrix,
             )                                       # (T, K, 16)
         else:
-            # Raw channels only; pack+gather happen once, un-vmapped, in
-            # pack_features_window (vmapped gathers lower pathologically).
-            feats = (mean2d, proj.conic, opa, proj.rgb, proj.depth)
+            # Raw (N,) channels only; pack+gather happen once, un-vmapped,
+            # in pack_features_window (vmapped gathers lower
+            # pathologically). rgb is shared across keyframes and stays
+            # outside the vmap entirely.
+            feats = (u, v, *conic_ch, opa, proj.depth)
         return (feats, bins_kf.index_matrix, bins_kf.pstart_blk,
                 bins_kf.owner_blk, bins_kf.seg_first, bins_kf.counts,
                 proj.radius, bins_kf.overflow,
@@ -218,13 +278,13 @@ def render_window(
     if bins is None:
         (feats, idx_mats, pstarts, owners, firsts, counts, radii,
          overflows, gops, gsps, gsfs, glasts) = jax.vmap(
-            lambda R, t, rho, theta, dummy: per_kf(R, t, rho, theta, dummy,
-                                                   None)
-        )(Rs, ts, rhos, thetas, mean2d_dummy)
+            lambda R, t, rho, theta, du, dv: per_kf(R, t, rho, theta,
+                                                    du, dv, None)
+        )(Rs, ts, rhos, thetas, dum_u, dum_v)
     else:
         (feats, idx_mats, pstarts, owners, firsts, counts, radii,
          overflows, gops, gsps, gsfs, glasts) = jax.vmap(per_kf)(
-            Rs, ts, rhos, thetas, mean2d_dummy, bins
+            Rs, ts, rhos, thetas, dum_u, dum_v, bins
         )
 
     T = idx_mats.shape[1]
@@ -236,7 +296,8 @@ def render_window(
     else:
         # One un-vmapped pack+gather builds the whole window's slab in the
         # kernel's (n_img, 16, E_cap) layout; block/tile ids become global.
-        feats = pack_features_window(*feats, gops, gsps, gsfs, glasts,
+        feats = pack_features_window(*feats, rgbs[:, 0], rgbs[:, 1],
+                                     rgbs[:, 2], gops, gsps, gsfs, glasts,
                                      max_dup)
         E_cap = feats.shape[2]
         eb_img = E_cap // SLAB
@@ -250,13 +311,15 @@ def render_window(
             counts.reshape(-1), cfg, tile_capacity, with_n_touched,
         )
 
-    imgs = jax.vmap(lambda o: _assemble_image(o, cfg))(
-        out.reshape(Wn, T, cfg.pixels, 8)
-    )                                               # (W, H, W_img, 8)
-    alpha = imgs[:, :, :, 4]
-    rgb = imgs[:, :, :, 0:3]
+    out = out.reshape(Wn, T, cfg.pixels, 8)
+    if assemble:
+        imgs = jax.vmap(lambda o: _assemble_image(o, cfg))(out)
+    else:
+        imgs = out                                  # (W, T, P, 8) tile layout
+    alpha = imgs[..., 4]
+    rgb = imgs[..., 0:3]
     if bg is not None:
-        rgb = rgb + (1.0 - alpha)[..., None] * bg[None, None, None, :]
+        rgb = rgb + (1.0 - alpha)[..., None] * bg
 
     if with_n_touched:
         n_touched = jax.vmap(
@@ -271,7 +334,7 @@ def render_window(
         n_touched = jnp.zeros((Wn, N), jnp.int32)
 
     return WindowRenderOutput(
-        rgb=rgb, depth=imgs[:, :, :, 3], opacity=alpha,
+        rgb=rgb, depth=imgs[..., 3], opacity=alpha,
         n_touched=n_touched, radii=radii,
         overflow=jnp.sum(overflows),
     )

@@ -677,12 +677,18 @@ def _gather_pos_bwd(max_dup, res, dpos_cm):
 gather_pos.defvjp(_gather_pos_fwd, _gather_pos_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
-def pack_features_window(mean2d, conic, opacity, rgb, depth,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14,))
+def pack_features_window(u, v, ca, cb, cc, opacity, depth, r, g, b,
                          gauss_of_pos_w, gsort_pos_w, gseg_start_w,
                          g_last_w, max_dup):
-    """Batched-window pack + slab gather: per-kf channel arrays (Wn, N, .)
-    -> (Wn, 16, E_cap) kernel layout.
+    """Batched-window pack + slab gather: per-kf (Wn, N) channels (plus
+    UNBATCHED shared (N,) rgb channels) -> (Wn, 16, E_cap) kernel layout.
+
+    Everything stays (N,)-channel shaped end to end — no (N,2)/(N,3)
+    mean2d/conic stacks feeding this op, so their backward split/restack
+    pairs (~5 ms/iter at window 8, HLO-profiled) disappear; the shared rgb
+    channels broadcast across keyframes here (never materialized batched)
+    and their gradients sum over the window in the backward.
 
     One custom-VJP boundary spanning stack+gather: the backward emits the
     per-channel gradients directly (slices of the per-Gaussian reduction),
@@ -702,8 +708,8 @@ def pack_features_window(mean2d, conic, opacity, rgb, depth,
     Wn = gauss_of_pos_w.shape[0]
     rows = jnp.stack(
         [jnp.take(
-            _stack_features(mean2d[w], conic[w], opacity[w], rgb[w],
-                            depth[w]),
+            _stack_features_ch(u[w], v[w], ca[w], cb[w], cc[w], opacity[w],
+                               r, g, b, depth[w]),
             gauss_of_pos_w[w], axis=0)
          for w in range(Wn)]
     )                                                    # (Wn, E_cap, 16)
@@ -711,10 +717,11 @@ def pack_features_window(mean2d, conic, opacity, rgb, depth,
     return rows.transpose(0, 2, 1)
 
 
-def _pfw_fwd(mean2d, conic, opacity, rgb, depth, gop_w,
+def _pfw_fwd(u, v, ca, cb, cc, opacity, depth, r, g, b, gop_w,
              gsort_pos_w, gseg_start_w, g_last_w, max_dup):
-    out = pack_features_window(mean2d, conic, opacity, rgb, depth, gop_w,
-                               gsort_pos_w, gseg_start_w, g_last_w, max_dup)
+    out = pack_features_window(u, v, ca, cb, cc, opacity, depth, r, g, b,
+                               gop_w, gsort_pos_w, gseg_start_w, g_last_w,
+                               max_dup)
     return out, (gop_w, gsort_pos_w, gseg_start_w, g_last_w)
 
 
@@ -722,35 +729,28 @@ def _pfw_bwd(max_dup, res, dcm):
     gop_w, gsort_pos_w, gseg_start_w, g_last_w = res
     Wn = gop_w.shape[0]
     dpos = jax.lax.optimization_barrier(dcm.transpose(0, 2, 1))
-    g = jnp.stack(
+    gr = jnp.stack(
         [_segsum_last(dpos[w], gsort_pos_w[w], gseg_start_w[w],
                       g_last_w[w], max_dup)
          for w in range(Wn)]                             # unrolled: small
     )                                                    # (Wn, N, 16)
     zi = lambda a: jnp.zeros(a.shape, jax.dtypes.float0)
-    return (g[..., 0:2], g[..., 2:5], g[..., 5], g[..., 6:9], g[..., 9],
+    return (gr[..., 0], gr[..., 1], gr[..., 2], gr[..., 3], gr[..., 4],
+            gr[..., 5], gr[..., 9],
+            jnp.sum(gr[..., 6], axis=0), jnp.sum(gr[..., 7], axis=0),
+            jnp.sum(gr[..., 8], axis=0),
             zi(gop_w), zi(gsort_pos_w), zi(gseg_start_w), zi(g_last_w))
 
 
 pack_features_window.defvjp(_pfw_fwd, _pfw_bwd)
 
 
-def _stack_features(
-    mean2d: jnp.ndarray,   # (N, 2)
-    conic: jnp.ndarray,    # (N, 3)
-    opacity: jnp.ndarray,  # (N,) already masked by validity
-    rgb: jnp.ndarray,      # (N, 3)
-    depth: jnp.ndarray,    # (N,)
-) -> jnp.ndarray:
-    """Per-Gaussian (N+1, 16) feature rows; row N is the all-zero sentinel."""
-    N = mean2d.shape[0]
+def _stack_features_ch(u, v, ca, cb, cc, opacity, r, g, b, depth):
+    """(N,) channels -> per-Gaussian (N+1, 16) feature rows; row N is the
+    all-zero sentinel. opacity must already be masked by validity."""
+    N = u.shape[0]
     feats_full = jnp.stack(
-        [
-            mean2d[:, 0], mean2d[:, 1],
-            conic[:, 0], conic[:, 1], conic[:, 2],
-            opacity, rgb[:, 0], rgb[:, 1], rgb[:, 2], depth,
-        ],
-        axis=1,
+        [u, v, ca, cb, cc, opacity, r, g, b, depth], axis=1
     )                                               # (N, 10)
     feats_full = jnp.concatenate(
         [
@@ -764,13 +764,29 @@ def _stack_features(
     )                                               # sentinel row N
 
 
-def pack_features_slab(mean2d, conic, opacity, rgb, depth,
+def _stack_features(
+    mean2d: jnp.ndarray,   # (N, 2)
+    conic: jnp.ndarray,    # (N, 3)
+    opacity: jnp.ndarray,  # (N,) already masked by validity
+    rgb: jnp.ndarray,      # (N, 3)
+    depth: jnp.ndarray,    # (N,)
+) -> jnp.ndarray:
+    """Matrix-shaped wrapper over _stack_features_ch (oracle path)."""
+    return _stack_features_ch(
+        mean2d[:, 0], mean2d[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
+        opacity, rgb[:, 0], rgb[:, 1], rgb[:, 2], depth,
+    )
+
+
+def pack_features_slab(u, v, ca, cb, cc, opacity, rgb, depth,
                        gauss_of_pos, gsort_pos, gseg_start, g_last,
                        max_dup) -> jnp.ndarray:
-    """Gather per-Gaussian features into the (16, entry_capacity) channel-
-    major slab layout with the occupancy-proportional segmented-scan
+    """Gather per-Gaussian channel features into the (16, entry_capacity)
+    channel-major slab layout with the occupancy-proportional segmented-scan
     backward."""
-    feats_full = _stack_features(mean2d, conic, opacity, rgb, depth)
+    feats_full = _stack_features_ch(
+        u, v, ca, cb, cc, opacity, rgb[:, 0], rgb[:, 1], rgb[:, 2], depth
+    )
     return gather_pos(feats_full, gauss_of_pos, gsort_pos, gseg_start,
                       g_last, max_dup)
 

@@ -115,44 +115,55 @@ def track_frame(
     opac = get_opacity(params)
 
     from ..ops.binning import tile_bin
-    from ..ops.projection import project_gaussians
-    from ..ops.render import make_raster_config, render_projected
+    from ..ops.projection import project_gaussians_ch
+    from ..ops.render import make_raster_config, render_projected, tile_image
 
     rcfg = make_raster_config(intr.width, intr.height, cfg.tile_size)
 
+    # Pre-tile the (constant) ground truth ONCE per frame: the per-iteration
+    # loss then runs in the rasterizer's (T, P) tile layout, dropping the
+    # tile->image assemble + its backward from the hot loop (same trick as
+    # the mapper's _tile_window_gt). Padding is masked (False/0-padded).
+    gt_rgb_t = tile_image(frame.rgb, rcfg)
+    gt_depth_t = tile_image(frame.depth, rcfg)
+    pad_valid = tile_image(jnp.ones(frame.rgb.shape[:2], bool), rcfg)
+    gt_mask_t = tile_image(frame.mask, rcfg) & pad_valid
+    grad_mask_t = tile_image(frame.grad_mask, rcfg) & pad_valid
+
     def compute_bins(R, t):
-        proj = project_gaussians(
-            params["xyz"], scales, params["quats"], opac, params["rgb"],
+        proj = project_gaussians_ch(
+            params["xyz"], scales, params["quats"], opac,
             R, t, jnp.zeros(3), jnp.zeros(3), intr, active=active,
         )
         return tile_bin(
-            proj.mean2d, proj.radius, proj.depth, proj.valid,
+            None, proj.radius, proj.depth, proj.valid,
             img_w=intr.width, img_h=intr.height, tile_size=cfg.tile_size,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
             entry_capacity=cfg.entry_capacity,
             opacity=jnp.where(proj.valid, proj.opacity, 0.0),
-            conic=proj.conic,
+            conic=(proj.ca, proj.cb, proj.cc), uv=(proj.u, proj.v),
         )
 
     def loss_fn(rho, theta, ea, eb, R, t, bins):
-        proj = project_gaussians(
-            params["xyz"], scales, params["quats"], opac, params["rgb"],
+        proj = project_gaussians_ch(
+            params["xyz"], scales, params["quats"], opac,
             R, t, rho, theta, intr, active=active,
         )
         out = render_projected(
-            proj, rcfg, bg=None if bg_is_zero else bg,
+            proj, rcfg, rgbs=params["rgb"], bg=None if bg_is_zero else bg,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
             entry_capacity=cfg.entry_capacity,
             backend=cfg.backend, bins=bins,
             # The loss loop never reads n_touched; skipping it removes the
             # per-chunk count math + (T+1,8,K) writes from the fwd kernel
             # (visibility comes from the final render below).
-            with_n_touched=False,
+            with_n_touched=False, assemble=False,
         )
         loss = get_loss_tracking(
             out.rgb, out.depth, out.opacity,
-            frame.rgb, frame.depth, frame.mask, frame.grad_mask, ea, eb,
+            gt_rgb_t, gt_depth_t, gt_mask_t, grad_mask_t, ea, eb,
             opacity_threshold=cfg.opacity_threshold,
+            rgb_npix=intr.width * intr.height,
         )
         return loss
 

@@ -97,8 +97,11 @@ def main():
 
     # --- variants ---------------------------------------------------------
     def variant_a(m2, cn, op, rg, dp):
-        return tr.pack_features_window(m2, cn, op, rg, dp, gop, gsp, gsf,
-                                       gl, max_dup)
+        # channel-form signature; rgb is shared (unbatched) across kfs
+        return tr.pack_features_window(
+            m2[..., 0], m2[..., 1], cn[..., 0], cn[..., 1], cn[..., 2],
+            op, dp, rg[0, :, 0], rg[0, :, 1], rg[0, :, 2],
+            gop, gsp, gsf, gl, max_dup)
 
     def stack_only(m2, cn, op, rg, dp):
         return jax.vmap(tr._stack_features)(m2, cn, op, rg, dp)

@@ -126,6 +126,81 @@ def test_image_nontrivial():
     assert int(jnp.sum(out.n_touched > 0)) > 10
 
 
+def test_tile_image_roundtrip():
+    """tile_image is _assemble_image's exact inverse (incl. non-tile-multiple
+    sizes via zero padding)."""
+    from monogs_tpu.ops.render import _assemble_image, tile_image
+    from monogs_tpu.ops.tile_raster import make_raster_config
+
+    for (h, w, ts) in [(48, 64, 16), (30, 50, 16), (48, 64, 32)]:
+        cfg = make_raster_config(w, h, ts)
+        img = jax.random.uniform(jax.random.PRNGKey(0), (h, w, 3))
+        tiles = tile_image(img, cfg)
+        assert tiles.shape == (cfg.num_tiles, cfg.pixels, 3)
+        np.testing.assert_array_equal(_assemble_image(tiles, cfg), img)
+        # 2-D (depth/mask) variant
+        dep = jax.random.uniform(jax.random.PRNGKey(1), (h, w))
+        np.testing.assert_array_equal(
+            _assemble_image(tile_image(dep, cfg)[..., None], cfg)[..., 0], dep
+        )
+
+
+def test_tile_space_mapping_loss_matches_image_space():
+    """get_loss_mapping on tile-layout render+GT (padding masked) equals the
+    image-space value — the mapping hot loop's loss path."""
+    from monogs_tpu.ops.losses import get_loss_mapping
+    from monogs_tpu.ops.render import tile_image
+    from monogs_tpu.ops.tile_raster import make_raster_config
+
+    h, w, ts = 30, 50, 16  # deliberately NOT tile-multiples
+    cfg = make_raster_config(w, h, ts)
+    k = jax.random.split(jax.random.PRNGKey(2), 5)
+    r_rgb = jax.random.uniform(k[0], (h, w, 3))
+    r_dep = jax.random.uniform(k[1], (h, w), minval=0.5, maxval=3.0)
+    g_rgb = jax.random.uniform(k[2], (h, w, 3))
+    g_dep = jnp.where(jax.random.uniform(k[3], (h, w)) > 0.2,
+                      jax.random.uniform(k[3], (h, w), minval=0.5), 0.0)
+    mask = jax.random.uniform(k[4], (h, w)) > 0.3
+    ea, eb = jnp.asarray(0.1), jnp.asarray(-0.05)
+
+    ref = get_loss_mapping(r_rgb, r_dep, g_rgb, g_dep, mask, ea, eb)
+    t = lambda x: tile_image(x, cfg)
+    pad_valid = t(jnp.ones((h, w), bool))
+    got = get_loss_mapping(t(r_rgb), t(r_dep), t(g_rgb), t(g_dep),
+                           t(mask) & pad_valid, ea, eb)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+
+
+def test_tile_space_tracking_loss_matches_image_space():
+    """get_loss_tracking on tile-layout render+GT (padding masked, explicit
+    rgb_npix) equals the image-space value — the tracking hot loop's path."""
+    from monogs_tpu.ops.losses import get_loss_tracking
+    from monogs_tpu.ops.render import tile_image
+    from monogs_tpu.ops.tile_raster import make_raster_config
+
+    h, w, ts = 30, 50, 16  # deliberately NOT tile-multiples
+    cfg = make_raster_config(w, h, ts)
+    k = jax.random.split(jax.random.PRNGKey(7), 7)
+    r_rgb = jax.random.uniform(k[0], (h, w, 3))
+    r_dep = jax.random.uniform(k[1], (h, w), minval=0.5, maxval=3.0)
+    r_opa = jax.random.uniform(k[2], (h, w))
+    g_rgb = jax.random.uniform(k[3], (h, w, 3))
+    g_dep = jnp.where(jax.random.uniform(k[4], (h, w)) > 0.2,
+                      jax.random.uniform(k[4], (h, w), minval=0.5), 0.0)
+    mask = jax.random.uniform(k[5], (h, w)) > 0.3
+    gmask = jax.random.uniform(k[6], (h, w)) > 0.4
+    ea, eb = jnp.asarray(0.1), jnp.asarray(-0.05)
+
+    ref = get_loss_tracking(r_rgb, r_dep, r_opa, g_rgb, g_dep, mask, gmask,
+                            ea, eb, opacity_threshold=0.5)
+    t = lambda x: tile_image(x, cfg)
+    pad_valid = t(jnp.ones((h, w), bool))
+    got = get_loss_tracking(t(r_rgb), t(r_dep), t(r_opa), t(g_rgb), t(g_dep),
+                            t(mask) & pad_valid, t(gmask) & pad_valid,
+                            ea, eb, opacity_threshold=0.5, rgb_npix=h * w)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+
+
 def test_pallas_without_n_touched_matches():
     """with_n_touched=False (hot-loop kernel variant): identical images,
     zero n_touched."""
