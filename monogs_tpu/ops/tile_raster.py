@@ -213,6 +213,19 @@ def _tile_origin_of(t, cfg: RasterConfig):
 MXU_POWER = os.environ.get("MONOGS_MXU_POWER", "0") == "1"
 
 
+def _prefix_dot(x, tri):
+    """x (P, CHUNK) @ tri (CHUNK, CHUNK) triangular prefix matmul.
+
+    Measured (scripts/bench_kernel.py, TPU v5e, 2026-08-19): these matmuls
+    are effectively FREE — bf16 inputs changed fwd+bwd latency by <1%
+    (6.32 vs 6.30 ms), so the kernels are VPU/transcendental-bound, not
+    MXU-bound. Keep f32 (exact oracle match costs nothing)."""
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _chunk_alpha(tf, ox, oy, x, y, basis=None):
     """Shared per-chunk alpha computation on a (16, CHUNK) slab. Returns
     tile-local (u, v), conic rows, opacity row, exp(power), alpha.
@@ -295,10 +308,7 @@ def _slab_fwd_kernel(owner_ref, first_ref, pstart_ref, counts_ref,
                 tf, ox, oy, x, y, basis
             )
             log1m = jnp.log1p(-alpha)
-            excl = jax.lax.dot_general(
-                log1m, strict, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            excl = _prefix_dot(log1m, strict)
             Tk = jnp.exp(logT + excl)
             w = alpha * Tk
             colors_t = jnp.concatenate(
@@ -368,10 +378,7 @@ def _slab_bwd_kernel(owner_ref, first_ref, pstart_ref, counts_ref,
                 tf, ox, oy, x, y, basis
             )
             log1m = jnp.log1p(-alpha)
-            excl = jax.lax.dot_general(
-                log1m, strict, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            excl = _prefix_dot(log1m, strict)
             Tk = jnp.exp(logT + excl)
             w = alpha * Tk
 
@@ -380,25 +387,20 @@ def _slab_bwd_kernel(owner_ref, first_ref, pstart_ref, counts_ref,
                 [tf[6:10, :], jnp.ones((1, CHUNK), jnp.float32)],
                 axis=0,
             )                                 # (5, CHUNK)
+            # NOTE: keep this K=5 contraction on the MXU — a 5-term VPU
+            # rank-1 fma chain measured 8.49 vs 6.30 ms fwd+bwd
+            # (scripts/bench_kernel.py): the kernel is VPU-bound, so the
+            # MXU path overlaps while the fma chain serializes.
             g = jax.lax.dot_general(
                 gvec, props, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                 # (P, CHUNK)
             wg = w * g
-            pref = wg_pref + jax.lax.dot_general(
-                wg, incl, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                 # inclusive prefix incl. carry
+            pref = wg_pref + _prefix_dot(wg, incl)  # incl. prefix + carry
             S = A - pref
             dalpha = Tk * g - S / (1.0 - alpha)
             dalpha_raw = jnp.where(ok & (alpha_raw < ALPHA_MAX), dalpha, 0.0)
             dpower = dalpha_raw * alpha_raw
-            # d_opa = sum(dalpha_raw * expp); expp == alpha_raw / opa, so the
-            # dpower sum divided by opa avoids keeping expp live (the bwd
-            # working set is scoped-VMEM limited).
-            d_opa = jnp.sum(dpower, axis=0, keepdims=True) / jnp.maximum(
-                opa, 1e-12
-            )                                                  # (1,CK)
 
             # d color/depth (+ unused alpha column): sum_p w * g -> (5, CHUNK).
             dprops = jax.lax.dot_general(
@@ -414,6 +416,10 @@ def _slab_bwd_kernel(owner_ref, first_ref, pstart_ref, counts_ref,
             )
             Rxx, Rxy, Ryy = m[0:1], m[1:2], m[2:3]
             Rx, Ry, R0 = m[3:4], m[4:5], m[5:6]
+            # d_opa = sum_p(dalpha_raw * expp) = sum_p(dpower) / opa, and
+            # sum_p(dpower) is exactly the basis ones-row moment R0 — no
+            # separate (P, CHUNK) reduction.
+            d_opa = R0 / jnp.maximum(opa, 1e-12)               # (1,CK)
             # power = -0.5(a dx^2 + 2b dx dy + c dy^2), dx = x - u (tile-local)
             du = a * (Rx - u * R0) + bb * (Ry - v * R0)
             dv = bb * (Rx - u * R0) + c * (Ry - v * R0)
