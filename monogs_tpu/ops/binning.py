@@ -89,7 +89,7 @@ def auto_entry_capacity(n: int, max_dup: int, num_tiles: int,
 @functools.partial(
     jax.jit,
     static_argnames=("img_w", "img_h", "tile_size", "tile_capacity",
-                     "max_dup", "entry_capacity"),
+                     "max_dup", "entry_capacity", "max_dup_gen"),
 )
 def tile_bin(
     mean2d: jnp.ndarray,   # (N,2) pixel coords, or None with uv=
@@ -107,6 +107,9 @@ def tile_bin(
                                           #   ((N,),)*3 channel tuple
     uv: tuple | None = None,              # ((N,), (N,)) channel alternative
                                           #   to mean2d (hot path: no stack)
+    max_dup_gen: int | None = None,       # candidate width before the cull;
+                                          #   > max_dup enables survivor
+                                          #   compaction (see below)
 ) -> TileBins:
     if uv is not None:
         u, v = uv
@@ -139,7 +142,12 @@ def tile_bin(
     n_cover = w * h                                   # (N,)
 
     # Duplicate: entry d of Gaussian i covers tile (x0 + d%w, y0 + d//w).
-    d = jnp.arange(max_dup, dtype=jnp.int32)[None, :]          # (1,D)
+    # Candidates are generated at width D_gen >= max_dup; after the peak
+    # cull, survivors are compacted per-gaussian down to max_dup columns
+    # (cheap (N, D_gen) minor-axis bitonic sort), so every downstream
+    # E-sized sort/scan runs at N*max_dup instead of N*D_gen.
+    D_gen = max_dup if max_dup_gen is None else max(max_dup_gen, max_dup)
+    d = jnp.arange(D_gen, dtype=jnp.int32)[None, :]            # (1,D)
     w_safe = jnp.maximum(w, 1)[:, None]
     tx = x0[:, None] + d % w_safe
     ty = y0[:, None] + d // w_safe
@@ -187,6 +195,16 @@ def tile_bin(
         peak = opacity[:, None] * jnp.exp(pmax)
         dup_valid = dup_valid & (peak >= ALPHA_EPS)
     tile_id = jnp.where(dup_valid, ty * tiles_x + tx, T).astype(jnp.int32)
+    surv_gen = jnp.sum(dup_valid.astype(jnp.int32), axis=1)    # (N,)
+    if D_gen > max_dup:
+        # Compact cull survivors leftward: dead candidates carry the
+        # sentinel tile T, so an ascending minor-axis sort pushes them past
+        # the kept window. Row order is irrelevant (the global tile|depth
+        # sort below re-orders), and candidate tiles within a row are
+        # distinct, so truncation drops only survivors beyond max_dup
+        # (counted in `overflow`).
+        tile_id = jax.lax.sort(tile_id, dimension=1)[:, :max_dup]
+        dup_valid = tile_id < T
 
     # Packed sort key: [tile_id | depth bits]. Positive-float IEEE bits are
     # monotonic; clamp to >=0 so the bitcast stays order-preserving.
@@ -319,7 +337,8 @@ def tile_bin(
     )
 
     overflow = (
-        jnp.sum(jnp.maximum(n_cover - max_dup, 0))
+        jnp.sum(jnp.maximum(n_cover - D_gen, 0))
+        + jnp.sum(jnp.maximum(surv_gen - max_dup, 0))
         + jnp.sum(jnp.maximum(seg_counts - K, 0))
         + jnp.sum(counts - counts_eff)
     )

@@ -93,6 +93,7 @@ def render_projected(
     bg: jnp.ndarray | None = None,
     tile_capacity: int = 512,
     max_dup: int = 16,
+    max_dup_gen: int | None = None,
     entry_capacity: int | None = None,
     backend: str = "pallas",
     mean2d_dummy: jnp.ndarray | None = None,
@@ -131,7 +132,7 @@ def render_projected(
             None, proj.radius, proj.depth, proj.valid,
             img_w=cfg.img_w, img_h=cfg.img_h, tile_size=cfg.tile_size,
             tile_capacity=tile_capacity, max_dup=max_dup,
-            entry_capacity=entry_capacity,
+            max_dup_gen=max_dup_gen, entry_capacity=entry_capacity,
             opacity=jnp.where(proj.valid, proj.opacity, 0.0),
             conic=conic_ch, uv=(u, v),
         )
@@ -206,6 +207,7 @@ def render_window(
     tile_size: int = 16,
     tile_capacity: int = 512,
     max_dup: int = 16,
+    max_dup_gen: int | None = None,
     entry_capacity: int | None = None,
     backend: str = "pallas",
     mean2d_dummy=None,   # (W, N, 2) array or ((W, N), (W, N)) channel pair
@@ -253,7 +255,7 @@ def render_window(
                 None, proj.radius, proj.depth, proj.valid,
                 img_w=cfg.img_w, img_h=cfg.img_h, tile_size=cfg.tile_size,
                 tile_capacity=tile_capacity, max_dup=max_dup,
-                entry_capacity=entry_capacity,
+                max_dup_gen=max_dup_gen, entry_capacity=entry_capacity,
                 opacity=jnp.where(proj.valid, proj.opacity, 0.0),
                 conic=conic_ch, uv=(u, v),
             )
@@ -357,6 +359,7 @@ def render(
     tile_size: int = 16,
     tile_capacity: int = 512,
     max_dup: int = 16,
+    max_dup_gen: int | None = None,
     entry_capacity: int | None = None,
     backend: str = "pallas",
     mean2d_dummy: jnp.ndarray | None = None,
@@ -380,6 +383,7 @@ def render(
     )
     return render_projected(
         proj, cfg, bg=bg, tile_capacity=tile_capacity, max_dup=max_dup,
-        entry_capacity=entry_capacity, backend=backend,
-        mean2d_dummy=mean2d_dummy, bins=bins, with_n_touched=with_n_touched,
+        max_dup_gen=max_dup_gen, entry_capacity=entry_capacity,
+        backend=backend, mean2d_dummy=mean2d_dummy, bins=bins,
+        with_n_touched=with_n_touched,
     )

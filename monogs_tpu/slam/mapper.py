@@ -83,7 +83,11 @@ class MapperConfig:
     # Rendering (tile 32: see TrackerConfig note)
     tile_size: int = 32
     tile_capacity: int = 1024
-    max_dup: int = 8
+    # Generate candidates 16 wide, compact cull survivors to 4 slots per
+    # gaussian (tile_bin max_dup_gen): mapping 80.6 -> 73.3 ms/iter at
+    # window 8 / 640x480 / 80k live, +~80 dropped entries per keyframe.
+    max_dup: int = 4
+    max_dup_gen: int | None = 16
     entry_capacity: int | None = None  # slab rows; None = safe auto
     backend: str = "pallas"
     isotropic: bool = False
@@ -198,6 +202,7 @@ def _window_bins_traced(state: MapperState, intr: Intrinsics,
             entry_capacity=cfg.entry_capacity,
             opacity=jnp.where(proj.valid, proj.opacity, 0.0),
             conic=(proj.ca, proj.cb, proj.cc), uv=(proj.u, proj.v),
+            max_dup_gen=cfg.max_dup_gen,
         )
 
     return jax.vmap(per_kf)(f.R, f.t)
@@ -250,7 +255,7 @@ def _mapping_iter(
             f.R, f.t, intr, rhos=rhos, thetas=thetas, active=gmap.active,
             tile_size=cfg.tile_size,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
-            entry_capacity=cfg.entry_capacity,
+            max_dup_gen=cfg.max_dup_gen, entry_capacity=cfg.entry_capacity,
             backend=cfg.backend, mean2d_dummy=dummy, bins=bins,
             with_n_touched=False, assemble=False,
         )
@@ -394,11 +399,37 @@ def mapping_chunk(
         overflow=jnp.zeros((), jnp.int32),
     )
 
+    # The loop carry holds ONLY what an iteration mutates; the window's
+    # images (rgb/depth/segmentation/masks, ~50 MB at window 8 / 640x480)
+    # stay closure constants. Measured perf-neutral on v5e (81.5 vs 80.8
+    # ms/iter — XLA already forwarded the invariant carry buffers without
+    # copies), kept for the smaller carry and explicit mutation set.
     def body(i, carry):
-        st, _ = carry
-        return _mapping_iter(st, intr, cfg, init, bins, gt_tiles)
+        st_mut, _ = carry
+        gmap, adam, pose_adam, nr_iters, rng, R, t, ea, eb = st_mut
+        frames = state.window.frames._replace(
+            R=R, t=t, exposure_a=ea, exposure_b=eb
+        )
+        st = state._replace(
+            gmap=gmap, adam=adam, pose_adam=pose_adam, nr_iters=nr_iters,
+            rng=rng, window=state.window._replace(frames=frames),
+        )
+        st, aux = _mapping_iter(st, intr, cfg, init, bins, gt_tiles)
+        f = st.window.frames
+        return (st.gmap, st.adam, st.pose_adam, st.nr_iters, st.rng,
+                f.R, f.t, f.exposure_a, f.exposure_b), aux
 
-    return jax.lax.fori_loop(0, n_steps, body, (state, aux0))
+    f0 = state.window.frames
+    mut0 = (state.gmap, state.adam, state.pose_adam, state.nr_iters,
+            state.rng, f0.R, f0.t, f0.exposure_a, f0.exposure_b)
+    mut, aux = jax.lax.fori_loop(0, n_steps, body, (mut0, aux0))
+    gmap, adam, pose_adam, nr_iters, rng, R, t, ea, eb = mut
+    frames = f0._replace(R=R, t=t, exposure_a=ea, exposure_b=eb)
+    final = state._replace(
+        gmap=gmap, adam=adam, pose_adam=pose_adam, nr_iters=nr_iters,
+        rng=rng, window=state.window._replace(frames=frames),
+    )
+    return final, aux
 
 
 # ---------------------------------------------------------------------------
@@ -457,7 +488,8 @@ def visibility_pass(state: MapperState, intr: Intrinsics, cfg: MapperConfig):
         rhos=jnp.zeros((Wc, 3)), thetas=jnp.zeros((Wc, 3)),
         active=gmap.active, tile_size=cfg.tile_size,
         tile_capacity=cfg.tile_capacity,
-        max_dup=cfg.max_dup, entry_capacity=cfg.entry_capacity,
+        max_dup=cfg.max_dup, max_dup_gen=cfg.max_dup_gen,
+        entry_capacity=cfg.entry_capacity,
         backend=cfg.backend,
     )
     return (out.n_touched > 0) & window.valid[:, None]
@@ -499,7 +531,7 @@ def extend_event(
             gmap.params["quats"], gm.get_opacity(gmap.params),
             gmap.params["rgb"], frame.R, frame.t, intr, active=gmap.active,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
-            entry_capacity=cfg.entry_capacity,
+            max_dup_gen=cfg.max_dup_gen, entry_capacity=cfg.entry_capacity,
             backend=cfg.backend,
         )
         render_depth, render_opacity = out.depth, out.opacity
@@ -535,7 +567,7 @@ def _refine_iter(state: MapperState, frame: Frame, intr: Intrinsics,
             frame.R, frame.t, intr, active=gmap.active,
             tile_size=cfg.tile_size,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
-            entry_capacity=cfg.entry_capacity,
+            max_dup_gen=cfg.max_dup_gen, entry_capacity=cfg.entry_capacity,
             backend=cfg.backend,
         )
         l1 = l1_loss(out.rgb, frame.rgb)

@@ -365,7 +365,7 @@ class SLAM:
             jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32),
             self.intr, active=self.state.gmap.active,
             tile_capacity=self.mcfg.tile_capacity, max_dup=self.mcfg.max_dup,
-            backend=self.mcfg.backend,
+            max_dup_gen=self.mcfg.max_dup_gen, backend=self.mcfg.backend,
         )
         return np.clip(np.asarray(out.rgb), 0.0, 1.0)
 

@@ -50,7 +50,13 @@ class TrackerConfig:
     # entries, larger per-tile MXU batches); K=2048 keeps overflow headroom.
     tile_size: int = 32
     tile_capacity: int = 2048
-    max_dup: int = 8
+    # Candidates are generated 16 wide, then the peak-alpha cull's survivors
+    # are compacted to 4 slots/gaussian (tile_bin max_dup_gen): the global
+    # tile|depth sort runs at N*4, and wider generation means the cull (not
+    # a row-major cell cap) decides what's kept. Measured 9.26 -> 8.75
+    # ms/iter tracking at 640x480/100k, +151 dropped entries of ~122k.
+    max_dup: int = 4
+    max_dup_gen: int | None = 16
     entry_capacity: int | None = None  # slab rows; None = safe auto
     backend: str = "pallas"
     isotropic: bool = False
@@ -142,6 +148,7 @@ def track_frame(
             entry_capacity=cfg.entry_capacity,
             opacity=jnp.where(proj.valid, proj.opacity, 0.0),
             conic=(proj.ca, proj.cb, proj.cc), uv=(proj.u, proj.v),
+            max_dup_gen=cfg.max_dup_gen,
         )
 
     def loss_fn(rho, theta, ea, eb, R, t, bins):
@@ -152,7 +159,7 @@ def track_frame(
         out = render_projected(
             proj, rcfg, rgbs=params["rgb"], bg=None if bg_is_zero else bg,
             tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
-            entry_capacity=cfg.entry_capacity,
+            max_dup_gen=cfg.max_dup_gen, entry_capacity=cfg.entry_capacity,
             backend=cfg.backend, bins=bins,
             # The loss loop never reads n_touched; skipping it removes the
             # per-chunk count math + (T+1,8,K) writes from the fwd kernel
@@ -220,7 +227,7 @@ def track_frame(
         bg=None if bg_is_zero else bg,
         tile_size=cfg.tile_size,
         tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
-            entry_capacity=cfg.entry_capacity,
+        max_dup_gen=cfg.max_dup_gen, entry_capacity=cfg.entry_capacity,
         backend=cfg.backend,
     )
     median_depth = get_median_depth(out.depth, out.opacity > 0.0)

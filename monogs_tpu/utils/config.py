@@ -61,7 +61,8 @@ def build_tracker_config(cfg: dict, backend: str = "pallas"):
         lr_trans=g("Training", "lr", "cam_trans_delta", d=0.001),
         tile_size=g("Raster", "tile_size", d=32),
         tile_capacity=g("Raster", "tracking_tile_capacity", d=2048),
-        max_dup=g("Raster", "max_dup", d=8),
+        max_dup=g("Raster", "max_dup", d=4),
+        max_dup_gen=g("Raster", "max_dup_gen", d=16),
         entry_capacity=g("Raster", "tracking_entry_capacity", d=None),
         backend=backend,
         isotropic=g("Gaussians", "isotropic", d=False),
@@ -107,7 +108,8 @@ def build_mapper_config(cfg: dict, backend: str = "pallas"):
         lambda_ssim=g("opt_params", "lambda_ssim", d=0.2),
         tile_size=g("Raster", "tile_size", d=32),
         tile_capacity=g("Raster", "tile_capacity", d=1024),
-        max_dup=g("Raster", "max_dup", d=8),
+        max_dup=g("Raster", "max_dup", d=4),
+        max_dup_gen=g("Raster", "max_dup_gen", d=16),
         entry_capacity=g("Raster", "entry_capacity", d=None),
         backend=backend,
         isotropic=g("Gaussians", "isotropic", d=False),

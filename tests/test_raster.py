@@ -347,6 +347,34 @@ def test_binning_overflow_reported():
     assert int(bins.overflow) > 0
 
 
+def test_binning_survivor_compaction_matches_wide():
+    """max_dup_gen > max_dup must reproduce the wide-run tile contents
+    exactly when per-gaussian cull survivors fit in max_dup."""
+    intr = _intr()
+    means, scales, quats, opac, rgb = _scene(n=80, seed=7)
+    proj = project_gaussians(
+        means, scales, quats, opac, rgb, jnp.eye(3), jnp.zeros(3),
+        jnp.zeros(3), jnp.zeros(3), intr,
+    )
+    kw = dict(
+        img_w=W, img_h=H, tile_size=TILE, tile_capacity=CAP,
+        opacity=jnp.where(proj.valid, proj.opacity, 0.0),
+        conic=proj.conic,
+    )
+    wide = tile_bin(proj.mean2d, proj.radius, proj.depth, proj.valid,
+                    max_dup=32, **kw)
+    im, cn = np.asarray(wide.index_matrix), np.asarray(wide.counts)
+    surv = np.bincount(im[im < means.shape[0]], minlength=means.shape[0])
+    D = max(int(surv.max()), 1)
+    comp = tile_bin(proj.mean2d, proj.radius, proj.depth, proj.valid,
+                    max_dup=D, max_dup_gen=32, **kw)
+    assert int(comp.overflow) == 0
+    imc, cnc = np.asarray(comp.index_matrix), np.asarray(comp.counts)
+    assert (cn == cnc).all()
+    for t in range(im.shape[0]):
+        assert (im[t, :cn[t]] == imc[t, :cn[t]]).all()  # same order too
+
+
 def test_slab_layout_invariants():
     """gauss_of_pos / pos_of_entry / index_matrix must agree: the slab is a
     re-layout of the same sorted (tile, depth) entry list."""
