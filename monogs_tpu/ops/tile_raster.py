@@ -607,6 +607,38 @@ composite_slab.defvjp(_composite_fwd, _composite_bwd)
 # --- slab feature gather -----------------------------------------------------
 
 
+def _relayout_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...].T
+
+
+def rows_to_channels(x: jnp.ndarray, block: int = 8192) -> jnp.ndarray:
+    """(N, 16) row-major -> (16, N) channel-major via a Pallas transpose.
+
+    XLA cannot be *forced* to materialize a layout change: a transpose +
+    optimization_barrier gets a free-bitcast layout and the lane-strided
+    access reappears in the consumers (measured: channel slices of the
+    (Wn, N, 16) pack backward cost ~7.4 ms/iter at window 8 as XLA loop
+    fusions that vectorize on the 16-wide minor axis). A Pallas call pins
+    its operand/result layouts, so this runs as (block, 16) -> (16, block)
+    VMEM transposes at memory bandwidth."""
+    N, C = x.shape
+    pad = (-N) % block
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    Np = N + pad
+    out = pl.pallas_call(
+        _relayout_kernel,
+        grid=(Np // block,),
+        in_specs=[pl.BlockSpec((block, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((C, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, Np), x.dtype),
+        interpret=_interpret_mode(),
+    )(x)
+    return out[:, :N]
+
+
 def _segsum_last(dpos, gsort_pos, gseg_start, g_last, max_dup):
     """Occupancy-proportional per-Gaussian gradient reduction.
 
@@ -740,11 +772,19 @@ def _pfw_bwd(max_dup, res, dcm):
                       g_last_w[w], max_dup)
          for w in range(Wn)]                             # unrolled: small
     )                                                    # (Wn, N, 16)
+    # Channel extraction from the row-major (Wn, N, 16) reduction result:
+    # ONE Pallas relayout to channel-major, then contiguous slices. Slicing
+    # gr[..., c] directly makes XLA emit lane-strided loop fusions that
+    # re-read the whole 64 MB array (measured ~7.4 ms/iter at window 8 /
+    # N 131072); a jnp transpose + optimization_barrier does NOT fix it
+    # (XLA assigns the barrier a free-bitcast layout and the strided access
+    # reappears downstream) — rows_to_channels pins the layout.
+    grT = jax.vmap(rows_to_channels)(gr)                 # (Wn, 16, N)
     zi = lambda a: jnp.zeros(a.shape, jax.dtypes.float0)
-    return (gr[..., 0], gr[..., 1], gr[..., 2], gr[..., 3], gr[..., 4],
-            gr[..., 5], gr[..., 9],
-            jnp.sum(gr[..., 6], axis=0), jnp.sum(gr[..., 7], axis=0),
-            jnp.sum(gr[..., 8], axis=0),
+    return (grT[:, 0], grT[:, 1], grT[:, 2], grT[:, 3], grT[:, 4],
+            grT[:, 5], grT[:, 9],
+            jnp.sum(grT[:, 6], axis=0), jnp.sum(grT[:, 7], axis=0),
+            jnp.sum(grT[:, 8], axis=0),
             zi(gop_w), zi(gsort_pos_w), zi(gseg_start_w), zi(g_last_w))
 
 
@@ -784,17 +824,45 @@ def _stack_features(
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12,))
 def pack_features_slab(u, v, ca, cb, cc, opacity, rgb, depth,
                        gauss_of_pos, gsort_pos, gseg_start, g_last,
                        max_dup) -> jnp.ndarray:
     """Gather per-Gaussian channel features into the (16, entry_capacity)
     channel-major slab layout with the occupancy-proportional segmented-scan
-    backward."""
+    backward.
+
+    Custom VJP spans stack+gather (like pack_features_window): the backward
+    transposes the (N, 16) per-Gaussian reduction ONCE to channel-major and
+    returns contiguous slices — autodiff of the channel stack would emit
+    lane-strided slice fusions re-reading the whole array instead."""
     feats_full = _stack_features_ch(
         u, v, ca, cb, cc, opacity, rgb[:, 0], rgb[:, 1], rgb[:, 2], depth
     )
     return gather_pos(feats_full, gauss_of_pos, gsort_pos, gseg_start,
                       g_last, max_dup)
+
+
+def _pfs_fwd(u, v, ca, cb, cc, opacity, rgb, depth, gauss_of_pos,
+             gsort_pos, gseg_start, g_last, max_dup):
+    out = pack_features_slab(u, v, ca, cb, cc, opacity, rgb, depth,
+                             gauss_of_pos, gsort_pos, gseg_start, g_last,
+                             max_dup)
+    return out, (gauss_of_pos, gsort_pos, gseg_start, g_last)
+
+
+def _pfs_bwd(max_dup, res, dcm):
+    gauss_of_pos, gsort_pos, gseg_start, g_last = res
+    dpos = jax.lax.optimization_barrier(dcm.T)           # (E_cap, 16)
+    g = _segsum_last(dpos, gsort_pos, gseg_start, g_last, max_dup)  # (N, 16)
+    gT = rows_to_channels(g)                             # (16, N)
+    zi = lambda a: jnp.zeros(a.shape, jax.dtypes.float0)
+    return (gT[0], gT[1], gT[2], gT[3], gT[4], gT[5],
+            gT[6:9].T, gT[9],
+            zi(gauss_of_pos), zi(gsort_pos), zi(gseg_start), zi(g_last))
+
+
+pack_features_slab.defvjp(_pfs_fwd, _pfs_bwd)
 
 
 def pack_features(mean2d, conic, opacity, rgb, depth,
