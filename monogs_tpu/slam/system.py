@@ -103,12 +103,20 @@ class SLAM:
         self.frames: dict[int, Frame] = {}       # window + recent frames
         self.vis_dict: dict[int, jnp.ndarray] = {}
         self.kf_list: list[int] = []
+        self.kf_history: set[int] = set()  # every index ever made a keyframe
         self.is_window_full = False
         self.first_time_pruned = False
         self.median_depth = 1.0
         self.state: MapperState | None = None
-        self.metrics = {"ate": [], "tracking_iters": [], "frame_times": []}
+        self.metrics = {
+            "ate": [], "tracking_iters": [], "frame_times": [], "overflow": [],
+        }
         self.viewer = None
+        # wandb run logging (reference slam.py:612-619, eval_utils.py:127):
+        # enabled by Results.use_wandb; silent no-op when unavailable.
+        from ..utils.logging import WandbLogger
+
+        self.wandb = WandbLogger(enabled=self.scfg.use_wandb, config=config)
         # Frame prefetch (ROADMAP async-dispatch pipelining): disk IO, host
         # decode, Scharr-mask prep and the host->device image transfer of
         # frame idx+1 overlap the device steps of frame idx. The reference
@@ -199,6 +207,21 @@ class SLAM:
         for idx in [i for i in self.vis_dict if i not in set(self.kf_list)]:
             del self.vis_dict[idx]
 
+    def _maybe_checkpoint(self):
+        """Periodic full-state checkpoint every ckpt_every keyframes
+        (System.ckpt_every; TPU-native upgrade over the reference's
+        final-PLY-only persistence, SURVEY.md §5)."""
+        if not (self.scfg.ckpt_every and self.scfg.save_dir):
+            return
+        if len(self.kf_history) % self.scfg.ckpt_every == 0:
+            import os
+
+            from ..utils.ckpt import save_checkpoint
+
+            path = os.path.join(self.scfg.save_dir, "ckpt")
+            save_checkpoint(path, self)
+            Log(f"checkpoint -> {path}", tag="System")
+
     def _maybe_grow(self):
         st = self.state
         free = st.gmap.capacity - int(st.gmap.num_active)
@@ -207,16 +230,6 @@ class SLAM:
             Log(f"Growing map capacity -> {new_cap}", tag="System")
             gmap, adam = gm.grow(st.gmap, st.adam, new_cap)
             self.state = st._replace(gmap=gmap, adam=adam)
-
-    def _sync_window_back(self):
-        """Write optimized window poses/exposures back to host bookkeeping
-        (the push_to_frontend / sync_from_backend pair,
-        slam_mapper.py:550-564, slam_tracker.py:302-316)."""
-        w = self.state.window
-        for slot, idx in enumerate(self.kf_list):
-            f = window_get(w, slot)
-            self.frames[idx] = f
-            self._record_pose(idx, f.R, f.t)
 
     # -- pipeline stages -----------------------------------------------------
 
@@ -235,6 +248,7 @@ class SLAM:
         self.state, vis = run_initialize_map(self.state, self.intr, self.mcfg)
         self.frames[0] = frame
         self.kf_list = [0]
+        self.kf_history.add(0)
         self.vis_dict[0] = vis[0]
         self._record_pose(0, frame.R, frame.t)
 
@@ -254,12 +268,29 @@ class SLAM:
         self._record_pose(idx, res.R, res.t)
         self.median_depth = float(res.median_depth)
         self.metrics["tracking_iters"].append(int(res.n_iters))
+        # Binning-capacity telemetry (VERDICT r1 #6: a scene past capacity
+        # must degrade loudly, not silently).
+        overflow = int(res.overflow)
+        self.metrics["overflow"].append(overflow)
+        if overflow > 100:
+            Log(
+                f"tracking frame {idx}: binning dropped {overflow} entries "
+                f"— raise Raster.tracking_tile_capacity/entry_capacity",
+                tag="Tracker",
+            )
         return frame, res
 
-    def handle_keyframe(self, idx: int, frame: Frame, kf_list=None):
-        """Mapper keyframe message (slam_mapper.py:639-722)."""
-        if kf_list is not None:
-            self.kf_list = list(kf_list)
+    def _mapper_keyframe(self, idx: int, window_frames: list, kf_list: list):
+        """Mapper-owned keyframe work (slam_mapper.py:639-722): extend + window
+        optimize + prune. Touches ONLY mapper-owned state (`self.state`,
+        `self.first_time_pruned`) — in async mode this runs on the mapper
+        thread, so it must not read or write the tracker-owned host dicts
+        (frames/est_poses/vis_dict/kf_list); all inputs arrive by value and
+        all outputs are returned (the reference's queue-message discipline,
+        slam.py:102-109, as a thread-safe call contract).
+
+        Returns (out_frames per slot, vis per slot)."""
+        frame = window_frames[0]
         self._maybe_grow()  # before seeding, so no candidates are dropped
         self.state, (n_added, n_dropped) = extend_event(
             self.state, frame, idx, self.intr, self.mcfg, init=False
@@ -268,8 +299,7 @@ class SLAM:
             Log(f"Capacity drop: {int(n_dropped)} seeds", tag="Mapper")
 
         # Stack the window (newest first, matching kf_list order).
-        frames = [self.frames[i] if i != idx else frame for i in self.kf_list]
-        window = window_from_list(frames, self._window_capacity())
+        window = window_from_list(window_frames, self._window_capacity())
         self.state = self.state._replace(
             window=window,
             # Fresh keyframe optimizers per event (slam_mapper.py:717).
@@ -277,26 +307,48 @@ class SLAM:
         )
         self._place_state()
 
-        self.state, _ = run_optimize_map(
+        self.state, stats = run_optimize_map(
             self.state, self.intr, self.mcfg, self.mcfg.iters_per_kf
         )
 
         # prune=True pass (slam_mapper.py:720, 408-451).
         vis = visibility_pass(self.state, self.intr, self.mcfg)
-        if len(self.kf_list) == self.kcfg.window_size:
+        if len(kf_list) == self.kcfg.window_size:
             if not self.first_time_pruned:
                 floor = jnp.asarray(-(2 ** 31), jnp.int32)
                 self.first_time_pruned = True
             else:
                 floor = jnp.asarray(
-                    sorted(self.kf_list, reverse=True)[2], jnp.int32
+                    sorted(kf_list, reverse=True)[2], jnp.int32
                 )
             self.state, _ = covisibility_prune(self.state, vis, floor, self.mcfg)
             vis = visibility_pass(self.state, self.intr, self.mcfg)
 
-        for slot, i in enumerate(self.kf_list):
+        out_frames = [window_get(self.state.window, s)
+                      for s in range(len(kf_list))]
+        return out_frames, vis
+
+    def _apply_mapper_result(self, kf_list: list, out_frames: list, vis):
+        """Tracker-side application of a mapper result: write optimized
+        window poses/exposures + visibility back into the host bookkeeping
+        (the push_to_frontend / sync_from_backend pair,
+        slam_mapper.py:550-564, slam_tracker.py:302-316)."""
+        for slot, i in enumerate(kf_list):
+            self.frames[i] = out_frames[slot]
+            self._record_pose(i, out_frames[slot].R, out_frames[slot].t)
             self.vis_dict[i] = vis[slot]
-        self._sync_window_back()
+
+    def handle_keyframe(self, idx: int, frame: Frame, kf_list=None):
+        """Synchronous keyframe handling: mapper work + result application
+        in one thread (the reference's *_sp single-process path)."""
+        if kf_list is not None:
+            self.kf_list = list(kf_list)
+        window_frames = [self.frames[i] if i != idx else frame
+                         for i in self.kf_list]
+        out_frames, vis = self._mapper_keyframe(
+            idx, window_frames, list(self.kf_list)
+        )
+        self._apply_mapper_result(list(self.kf_list), out_frames, vis)
 
     def process_frame(self, idx: int) -> dict:
         """One full frontend+backend cycle for frame idx."""
@@ -331,6 +383,7 @@ class SLAM:
         self._push_viewer(idx, frame)
 
         if create_kf:
+            self.kf_history.add(idx)
             self.vis_dict[idx] = res.visibility
             self.kf_list, removed = kf.add_to_window(
                 idx, res.visibility, self.kf_list, self.vis_dict,
@@ -339,6 +392,7 @@ class SLAM:
             if len(self.kf_list) == self.kcfg.window_size:
                 self.is_window_full = True
             self.handle_keyframe(idx, frame)
+            self._maybe_checkpoint()
         self._gc_frames()
         self.metrics["frame_times"].append(time.time() - t0)
         return {"keyframe": create_kf}
@@ -351,6 +405,9 @@ class SLAM:
             label=label, align=align, align_scale=align_scale,
         )
         self.metrics["ate"].append(rmse)
+        self.wandb.log(
+            {"frame_idx": max(self.est_poses, default=0), "ate": rmse}
+        )
         return rmse
 
     def render_at(self, idx: int) -> np.ndarray:
@@ -370,12 +427,23 @@ class SLAM:
         return np.clip(np.asarray(out.rgb), 0.0, 1.0)
 
     def eval_rendering(self, every: int = 5, label="final") -> dict:
-        idxs = [i for i in sorted(self.est_poses) if i % every == 0]
-        return eval_rendering(
+        # Reference protocol: every 5th NON-keyframe frame
+        # (eval_utils.py:145-152 skips kf_indices) — keyframes were trained
+        # on directly, so including them inflates PSNR. When every frame is
+        # a keyframe (kf_interval=1 fork default) fall back to all frames.
+        idxs = [i for i in sorted(self.est_poses)
+                if i % every == 0 and i not in self.kf_history]
+        if not idxs:
+            Log("every frame is a keyframe; eval includes them", tag="Eval")
+            idxs = [i for i in sorted(self.est_poses) if i % every == 0]
+        res = eval_rendering(
             self.render_at,
             lambda i: (self.dataset[i]["rgb"], self.dataset[i].get("depth")),
             idxs, save_dir=self.scfg.save_dir, label=label,
         )
+        self.wandb.log({k: v for k, v in res.items()
+                        if isinstance(v, (int, float))})
+        return res
 
     def refine(self, iters: int | None = None):
         """Final color refinement (slam_mapper.py:502-548) over random
@@ -426,21 +494,33 @@ class SLAM:
         )
 
     def run_async(self, n_frames: int | None = None,
-                  queue_depth: int = 2, mapper_timeout: float = 600.0):
+                  queue_depth: int = 2, mapper_timeout: float = 600.0,
+                  start_frame: int = 0):
         """Tracker ∥ Mapper concurrency (the reference's 2-process topology,
         slam.py:120-172, as host threads driving device steps).
 
-        The tracker keeps tracking new frames against the latest published
-        (immutable) map snapshot while the mapper thread consumes keyframe
-        messages from a bounded queue — backpressure replaces the
-        reference's requested_keyframe spin-wait (slam_tracker.py:357-370).
-        Unlike the reference (where a crashed mapper deadlocks the tracker,
-        SURVEY.md §5), mapper exceptions propagate to the caller.
+        Ownership protocol (the reference's queue-message discipline,
+        slam.py:102-109, restated for threads): the TRACKER thread owns all
+        host bookkeeping (`frames/est_poses/vis_dict/kf_list/metrics`); the
+        MAPPER thread owns only the device-side `self.state` (each
+        reassignment of the immutable pytree is an atomic reference swap, so
+        the tracker's reads of `state.gmap` always see a consistent map
+        snapshot — the TPU-native replacement for the reference's clone_obj
+        deep copies). Keyframe messages carry the window Frames BY VALUE;
+        mapper results (optimized window poses + visibility) return on a
+        result queue and are applied by the tracker between frames
+        (sync_from_backend parity, slam_tracker.py:302-316).
+
+        Backpressure on the bounded keyframe queue replaces the reference's
+        requested_keyframe spin-wait (slam_tracker.py:357-370). Unlike the
+        reference (where a crashed mapper deadlocks the tracker, SURVEY.md
+        §5), mapper exceptions propagate to the caller.
         """
         import queue as _queue
         import threading
 
         q: _queue.Queue = _queue.Queue(maxsize=queue_depth)
+        results: _queue.Queue = _queue.Queue()
         errors: list[BaseException] = []
         STOP = object()
 
@@ -450,23 +530,37 @@ class SLAM:
                 if msg is STOP:
                     return
                 try:
-                    idx, frame, kf_list = msg
-                    self.handle_keyframe(idx, frame, kf_list=kf_list)
+                    idx, window_frames, kf_list = msg
+                    out_frames, vis = self._mapper_keyframe(
+                        idx, window_frames, kf_list
+                    )
+                    results.put((kf_list, out_frames, vis))
                 except BaseException as e:  # surface to tracker
                     errors.append(e)
                     return
+
+        def drain_results():
+            while True:
+                try:
+                    kf_list, out_frames, vis = results.get_nowait()
+                except _queue.Empty:
+                    return
+                self._apply_mapper_result(kf_list, out_frames, vis)
 
         mapper_thread = threading.Thread(target=mapper_loop, daemon=True)
         mapper_thread.start()
 
         n = len(self.dataset) if n_frames is None else n_frames
-        for idx in range(n):
+        for idx in range(start_frame, n):
+            t0 = time.time()
             if errors:
                 raise RuntimeError("mapper thread failed") from errors[0]
             frame = self._load_frame(idx)
             if idx == 0:
                 self.initialize(frame)
+                self.metrics["frame_times"].append(time.time() - t0)
                 continue
+            drain_results()
             frame, res = self.track(idx, frame)
             self.frames[idx] = frame
             last_kf = self.kf_list[0]
@@ -478,8 +572,13 @@ class SLAM:
                     res.visibility, self.vis_dict[last_kf],
                     self.median_depth, self.kcfg,
                 )
+            # GUI pause + live packet (slam_tracker.py:335-348).
+            if self.viewer is not None:
+                while self.viewer.paused:
+                    time.sleep(0.05)
             self._push_viewer(idx, frame)
             if create_kf:
+                self.kf_history.add(idx)
                 self.vis_dict[idx] = res.visibility
                 self.kf_list, _ = kf.add_to_window(
                     idx, res.visibility, self.kf_list, self.vis_dict,
@@ -487,21 +586,28 @@ class SLAM:
                 )
                 if len(self.kf_list) == self.kcfg.window_size:
                     self.is_window_full = True
-                q.put((idx, frame, list(self.kf_list)),
+                window_frames = [self.frames[i] if i != idx else frame
+                                 for i in self.kf_list]
+                q.put((idx, window_frames, list(self.kf_list)),
                       timeout=mapper_timeout)
+                self._maybe_checkpoint()
+            self._gc_frames()
+            self.metrics["frame_times"].append(time.time() - t0)
 
         q.put(STOP)
         mapper_thread.join(timeout=mapper_timeout)
         if errors:
             raise RuntimeError("mapper thread failed") from errors[0]
+        drain_results()
         rmse = self.eval_ate(label="final")
         Log(f"final ATE RMSE {rmse:.4f} (async)", tag="Eval")
         return rmse
 
-    def run(self, n_frames: int | None = None):
-        """Full sequential SLAM over the dataset (slam.py semantics)."""
+    def run(self, n_frames: int | None = None, start_frame: int = 0):
+        """Full sequential SLAM over the dataset (slam.py semantics).
+        start_frame > 0 continues a resumed run (utils/ckpt.py)."""
         n = len(self.dataset) if n_frames is None else n_frames
-        for idx in range(n):
+        for idx in range(start_frame, n):
             self.process_frame(idx)
             if (
                 self.scfg.eval_every

@@ -73,6 +73,7 @@ class TrackResult(NamedTuple):
     visibility: jnp.ndarray      # (N,) bool  n_touched > 0 (slam_tracker.py:414)
     render_depth: jnp.ndarray    # (H,W)
     render_opacity: jnp.ndarray  # (H,W)
+    overflow: jnp.ndarray        # () int32 binning entries dropped (final render)
 
 
 class _Adam4(NamedTuple):
@@ -238,4 +239,5 @@ def track_frame(
         median_depth=median_depth,
         visibility=out.n_touched > 0,
         render_depth=out.depth, render_opacity=out.opacity,
+        overflow=out.overflow,
     )

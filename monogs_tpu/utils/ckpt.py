@@ -30,6 +30,10 @@ def save_checkpoint(path: str, slam) -> None:
 
     host = {
         "kf_list": list(slam.kf_list),
+        "kf_history": sorted(slam.kf_history),
+        # State-template metadata for cold (fresh-process) restores.
+        "map_capacity": int(slam.state.gmap.capacity),
+        "nr_objects": int(slam.state.gmap.obj_prob.shape[1]),
         "is_window_full": slam.is_window_full,
         "first_time_pruned": slam.first_time_pruned,
         "median_depth": slam.median_depth,
@@ -53,8 +57,37 @@ def save_checkpoint(path: str, slam) -> None:
 
 def load_checkpoint(path: str, slam) -> None:
     """Restore into an existing SLAM instance (dataset/configs already
-    constructed). Mirrors save_checkpoint."""
+    constructed). Mirrors save_checkpoint. Works both warm (slam.state
+    exists, e.g. in-session restore) and cold (fresh process via
+    `slam.py --resume`): a cold restore builds the state template from the
+    checkpoint's structure metadata + dataset frame 0."""
     import orbax.checkpoint as ocp
+
+    with open(os.path.join(path, "host.json")) as f:
+        host = json.load(f)
+
+    if slam.state is None:
+        from ..slam.camera import make_frame
+        from ..slam.camera import window_from_list
+        from ..slam.mapper import init_mapper_state
+
+        import jax.numpy as jnp
+
+        d = slam.dataset[0]
+        frame = make_frame(
+            0, jnp.asarray(d["rgb"]),
+            None if d.get("depth") is None else jnp.asarray(d["depth"]),
+            jnp.asarray(d["pose"]),
+            mask=None if d.get("mask") is None else jnp.asarray(d["mask"]),
+            segmentation=None if d.get("segmentation") is None
+            else jnp.asarray(d["segmentation"]),
+        )
+        window = window_from_list([frame], slam._window_capacity())
+        slam.state = init_mapper_state(
+            host.get("map_capacity", slam.scfg.map_capacity),
+            host.get("nr_objects", 1),
+            window, seed=slam.scfg.seed,
+        )
 
     ckptr = ocp.StandardCheckpointer()
     template = jax.tree.map(np.asarray, slam.state)
@@ -65,9 +98,8 @@ def load_checkpoint(path: str, slam) -> None:
 
     slam.state = jax.tree.map(jnp.asarray, state)
 
-    with open(os.path.join(path, "host.json")) as f:
-        host = json.load(f)
     slam.kf_list = list(host["kf_list"])
+    slam.kf_history = set(host.get("kf_history", host["kf_list"]))
     slam.is_window_full = host["is_window_full"]
     slam.first_time_pruned = host["first_time_pruned"]
     slam.median_depth = host["median_depth"]

@@ -175,6 +175,11 @@ class SystemConfig:
     # Overlap next-frame load/decode/transfer with device steps (host-thread
     # lookahead; the reference hides this in its tracker process instead).
     prefetch: bool = True
+    use_wandb: bool = False         # Results.use_wandb (slam.py:612-619)
+    # Reference single_thread semantics (configs *_sp.yaml): True = the
+    # deterministic synchronous path; False = tracker ∥ mapper concurrency.
+    single_thread: bool = True
+    ckpt_every: int = 0             # checkpoint every N keyframes (0 = off)
 
 
 def build_system_config(cfg: dict) -> SystemConfig:
@@ -188,4 +193,12 @@ def build_system_config(cfg: dict) -> SystemConfig:
         backend=g("System", "backend", d="pallas"),
         mesh_devices=g("System", "mesh_devices", d=0),
         prefetch=g("System", "prefetch", d=True),
+        use_wandb=g("Results", "use_wandb", d=False),
+        # Dataset.single_thread (scene yaml) overrides Training.single_thread
+        # (base yaml), matching the reference's merged-config precedence.
+        single_thread=g(
+            "Dataset", "single_thread",
+            d=g("Training", "single_thread", d=True),
+        ),
+        ckpt_every=g("System", "ckpt_every", d=0),
     )

@@ -31,6 +31,13 @@ def main():
                     help="start the live web viewer on this port")
     ap.add_argument("--async-mode", action="store_true",
                     help="tracker and mapper run concurrently")
+    ap.add_argument("--sync", action="store_true",
+                    help="force the synchronous single-thread path even when "
+                         "the config sets single_thread: False")
+    ap.add_argument("--resume", default=None, metavar="CKPT_DIR",
+                    help="resume from a checkpoint directory (see --ckpt-every)")
+    ap.add_argument("--ckpt-every", type=int, default=None, metavar="N",
+                    help="checkpoint the full SLAM state every N keyframes")
     ap.add_argument("--dist-coordinator", default=None, metavar="HOST:PORT",
                     help="jax.distributed coordinator (multi-host runs)")
     ap.add_argument("--dist-procs", type=int, default=None,
@@ -96,13 +103,31 @@ def main():
         system_config=build_system_config(config),
     )
     slam.scfg.save_dir = save_dir
+    if args.ckpt_every is not None:
+        slam.scfg.ckpt_every = args.ckpt_every
     if args.viewer and is_primary():
         slam.start_viewer(port=args.viewer)
 
-    if args.async_mode:
-        rmse = slam.run_async(n_frames=args.n_frames)
+    start_frame = 0
+    if args.resume:
+        from monogs_tpu.utils.ckpt import load_checkpoint
+
+        load_checkpoint(args.resume, slam)
+        start_frame = max(slam.est_poses) + 1
+        Log(f"Resumed from {args.resume} at frame {start_frame}",
+            tag="System")
+
+    # Mode: the reference's single_thread config key (configs *_sp.yaml)
+    # selects the deterministic synchronous path; single_thread: False runs
+    # tracker ∥ mapper (the reference's default 2-process topology).
+    # CLI flags override in either direction.
+    use_async = (args.async_mode or not slam.scfg.single_thread) \
+        and not args.sync
+    if use_async:
+        rmse = slam.run_async(n_frames=args.n_frames,
+                              start_frame=start_frame)
     else:
-        rmse = slam.run(n_frames=args.n_frames)
+        rmse = slam.run(n_frames=args.n_frames, start_frame=start_frame)
     if args.refine:
         slam.refine(iters=args.refine)
     # Artifacts/eval on the primary process only (host logic is replicated
@@ -115,6 +140,7 @@ def main():
         if args.ate_align:
             Log(f"aligned ATE {slam.eval_ate(label='aligned', align=True):.4f}",
                 tag="Eval")
+    slam.wandb.finish()
     sync_hosts("run-end")
     return rmse
 
