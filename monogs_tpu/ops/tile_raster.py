@@ -620,23 +620,25 @@ def rows_to_channels(x: jnp.ndarray, block: int = 8192) -> jnp.ndarray:
     (Wn, N, 16) pack backward cost ~7.4 ms/iter at window 8 as XLA loop
     fusions that vectorize on the 16-wide minor axis). A Pallas call pins
     its operand/result layouts, so this runs as (block, 16) -> (16, block)
-    VMEM transposes at memory bandwidth."""
+    VMEM transposes at memory bandwidth.
+
+    N need not divide `block`: the ragged final grid step relies on Pallas
+    block masking (OOB input lanes are don't-care, OOB output lanes are
+    dropped) — a transpose maps garbage lanes only to dropped lanes. The
+    previous jnp.pad materialized a full (N, 16) copy before the call
+    (ADVICE r1)."""
     N, C = x.shape
-    pad = (-N) % block
-    if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0)))
-    Np = N + pad
     out = pl.pallas_call(
         _relayout_kernel,
-        grid=(Np // block,),
+        grid=(-(-N // block),),
         in_specs=[pl.BlockSpec((block, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((C, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, Np), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((C, N), x.dtype),
         interpret=_interpret_mode(),
     )(x)
-    return out[:, :N]
+    return out
 
 
 def _segsum_last(dpos, gsort_pos, gseg_start, g_last, max_dup):
