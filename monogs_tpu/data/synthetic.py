@@ -74,51 +74,71 @@ def _room_scene(n: int, seed: int):
     ])
     pts, cols = [], []
     for face, cnt in enumerate(counts):
-        u = rng.uniform(-1, 1, cnt)
-        v = rng.uniform(-1, 1, cnt)
-        w = np.full(cnt, 1.0) + rng.normal(0, 0.01, cnt)  # small relief
-        axis = face // 2
-        sign = 1.0 if face % 2 == 0 else -1.0
+        # Jittered-grid sampling: near-uniform spacing keeps the face
+        # watertight at sigma ~ 0.5x spacing (uniform-random placement
+        # leaves ~9% pinholes at the same count).
         half = [hx, hy, hz]
-        p = np.empty((cnt, 3))
+        axis = face // 2
         others = [a for a in range(3) if a != axis]
+        aspect = half[others[0]] / half[others[1]]
+        nu = max(int(np.ceil(np.sqrt(cnt * aspect))), 1)
+        nv = max(int(np.ceil(cnt / nu)), 1)
+        gu, gv = np.meshgrid(
+            (np.arange(nu) + 0.5) / nu * 2 - 1,
+            (np.arange(nv) + 0.5) / nv * 2 - 1,
+        )
+        keep = rng.permutation(nu * nv)[:cnt]
+        u = gu.ravel()[keep] + rng.uniform(-0.5, 0.5, cnt) / nu
+        v = gv.ravel()[keep] + rng.uniform(-0.5, 0.5, cnt) / nv
+        w = np.full(cnt, 1.0) + rng.normal(0, 0.01, cnt)  # small relief
+        sign = 1.0 if face % 2 == 0 else -1.0
+        p = np.empty((cnt, 3))
         p[:, axis] = sign * half[axis] * w
         p[:, others[0]] = u * half[others[0]]
         p[:, others[1]] = v * half[others[1]]
         pts.append(p)
-        # Low-frequency procedural texture + per-splat noise: gives the
-        # photometric loss real structure to lock onto.
+        # Multi-scale procedural texture + per-splat noise: gives the
+        # photometric loss structure at several frequencies (the highest
+        # term survives the splat-footprint blur).
         tex = (
             0.18 * np.sin(3.1 * u + 1.7 * face)[:, None]
             + 0.14 * np.cos(4.3 * v - 0.9 * face)[:, None]
             + 0.08 * np.sin(9.7 * u * v)[:, None]
+            + 0.10 * np.sin(23.0 * u + 1.3 * face)[:, None]
+            + 0.08 * np.cos(17.0 * v + 2.1 * face)[:, None]
         )
-        c = np.clip(base_colors[face] + tex + rng.normal(0, 0.05, (cnt, 3)),
+        c = np.clip(base_colors[face] + tex + rng.normal(0, 0.07, (cnt, 3)),
                     0.03, 0.97)
         cols.append(c)
-    # Interior clutter: a few furniture-scale blob clusters for parallax
-    # and occlusion (tables/chairs analogue).
+    # Interior clutter: furniture-scale blob clusters for parallax and
+    # occlusion (tables/chairs analogue). Blobs sit ON THE FLOOR (+y is
+    # down in the camera/world convention) and OUTSIDE the camera-orbit
+    # annulus (_orbit_trajectory wanders within ~0.8 m of the room center;
+    # a blob on the path occludes the whole view with featureless color —
+    # the round-2 room-run divergence).
     n_clutter = n - sum(counts)
     n_blobs = 12
+    ang = rng.uniform(0, 2 * np.pi, n_blobs)
+    rad = rng.uniform(1.3, 0.85 * min(hx, hz), n_blobs)
     centers = np.stack([
-        rng.uniform(-hx * 0.7, hx * 0.7, n_blobs),
-        rng.uniform(-hy * 0.9, -hy * 0.2, n_blobs),   # near the floor
-        rng.uniform(-hz * 0.7, hz * 0.7, n_blobs),
+        rad * np.cos(ang),
+        rng.uniform(hy * 0.35, hy * 0.8, n_blobs),    # below camera height
+        rad * np.sin(ang),
     ], axis=1)
     blob_col = rng.uniform(0.1, 0.9, (n_blobs, 3))
     blob_of = rng.randint(0, n_blobs, n_clutter)
-    p = centers[blob_of] + rng.normal(0, 0.16, (n_clutter, 3))
+    p = centers[blob_of] + rng.normal(0, 0.12, (n_clutter, 3))
     pts.append(p)
     cols.append(np.clip(
         blob_col[blob_of] + rng.normal(0, 0.07, (n_clutter, 3)), 0.03, 0.97
     ))
     means = np.concatenate(pts, axis=0)
     rgb = np.concatenate(cols, axis=0)
-    # Splat size ~ mean surface spacing so faces render watertight.
-    spacing = np.sqrt(2 * areas.sum() / max(n_wall, 1))
-    scales = np.exp(rng.uniform(-0.45, 0.45, (n, 3))) * spacing * 0.9
-    scales = np.log(scales)
-    scales = np.exp(scales)  # keep positive; stored activated below
+    # Splat sigma ~ 0.5x mean surface spacing: 3-sigma disks still overlap
+    # (near-watertight) while the screen footprint stays small enough that
+    # the texture above survives (0.9x rendered to featureless mush).
+    spacing = np.sqrt(areas.sum() / max(n_wall, 1))
+    scales = np.exp(rng.uniform(-0.3, 0.3, (n, 3))) * spacing * 0.5
     quats = rng.normal(size=(n, 4)) + np.array([3.0, 0, 0, 0])
     opac = 1.0 / (1.0 + np.exp(-rng.normal(1.6, 0.7, n)))
     return means, scales, quats, opac, rgb
@@ -139,7 +159,7 @@ def _orbit_trajectory(n_frames: int, motion: float, seed: int = 0):
             0.12 * np.sin(2.3 * phi) + 0.1,
             -radius * 0.4 * np.cos(phi),
         ])
-        yaw = phi + 0.35 * np.sin(0.7 * phi)
+        yaw = phi + 0.2 * np.sin(0.7 * phi)
         pitch = 0.06 * np.sin(1.9 * phi)
         roll = 0.03 * np.sin(2.7 * phi)
         cy, sy = np.cos(yaw), np.sin(yaw)

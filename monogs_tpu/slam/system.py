@@ -112,6 +112,7 @@ class SLAM:
             "ate": [], "tracking_iters": [], "frame_times": [], "overflow": [],
         }
         self.viewer = None
+        self._cap_bumps = 0  # overflow-triggered entry_capacity raises
         # wandb run logging (reference slam.py:612-619, eval_utils.py:127):
         # enabled by Results.use_wandb; silent no-op when unavailable.
         from ..utils.logging import WandbLogger
@@ -153,7 +154,9 @@ class SLAM:
         slam.py:120-121 spawns an Open3D process instead)."""
         from ..viewer.server import ViewerServer, make_render_fn
 
-        self.viewer = ViewerServer(make_render_fn(self), port=port).start()
+        self.viewer = ViewerServer(
+            make_render_fn(self), port=port, save_dir=self.scfg.save_dir
+        ).start()
         Log(f"Viewer at http://localhost:{port}", tag="System")
         return self.viewer
 
@@ -222,6 +225,99 @@ class SLAM:
             save_checkpoint(path, self)
             Log(f"checkpoint -> {path}", tag="System")
 
+    # Observed slab occupancy is screen-bounded, not N-bounded: per-pixel
+    # entry density saturates near 0.4 rows/px once the map is dense
+    # (122k entries at 640x480/80k live); 0.7 adds ~1.75x headroom. The
+    # gather reads ~1.7x slow past the 16 MB VMEM cliff (16 f32 channels x
+    # 262144 rows — CLAUDE.md), so the derived capacity is the tight
+    # screen-density bound instead of the worst-case safe auto (~614k rows
+    # at 640x480), with overflow-triggered bumps as the backstop.
+    ENTRY_DENSITY = 0.7          # slab rows per pixel, with headroom
+    CLIFF_ROWS = 262144          # 16 MB / (16 channels * 4 B)
+
+    def _derive_entry_capacities(self, frame: Frame):
+        """Derive tight per-config entry capacities from a first-frame
+        occupancy probe (VERDICT r1 #7): configs that leave entry_capacity
+        None get max(2x measured padded demand, screen-density bound),
+        clamped to the safe auto. Static jit args — must run before the
+        first tracking/mapping call to avoid double compiles."""
+        import dataclasses
+
+        from ..ops.binning import SLAB, auto_entry_capacity, measure_entry_demand
+        from ..ops.projection import project_gaussians_ch
+
+        st = self.state.gmap
+        zero3 = jnp.zeros(3)
+        for name in ("tcfg", "mcfg"):
+            cfg = getattr(self, name)
+            if cfg.entry_capacity is not None:
+                continue
+            proj = project_gaussians_ch(
+                st.params["xyz"], gm.get_scales(st.params, cfg.isotropic),
+                st.params["quats"], gm.get_opacity(st.params),
+                frame.R, frame.t, zero3, zero3, self.intr, active=st.active,
+            )
+            padded, entries = measure_entry_demand(
+                proj.u, proj.v, proj.radius, proj.valid, proj.opacity,
+                (proj.ca, proj.cb, proj.cc),
+                img_w=self.intr.width, img_h=self.intr.height,
+                tile_size=cfg.tile_size, tile_capacity=cfg.tile_capacity,
+                max_dup=cfg.max_dup, max_dup_gen=cfg.max_dup_gen,
+            )
+            pixels = self.intr.width * self.intr.height
+            # 1.25x on the padded probe (per-tile SLAB padding already
+            # dominates it at init; demand grows ~1.3x from init to a dense
+            # map) or the screen-density bound, whichever is larger.
+            rows = max(int(padded) * 5 // 4, int(self.ENTRY_DENSITY * pixels))
+            rows = -(-rows // SLAB) * SLAB
+            tiles = (-(-self.intr.width // cfg.tile_size)
+                     * -(-self.intr.height // cfg.tile_size))
+            safe = auto_entry_capacity(
+                st.capacity, cfg.max_dup, tiles, cfg.tile_capacity
+            )
+            rows = max(min(rows, safe), SLAB)
+            setattr(self, name, dataclasses.replace(cfg, entry_capacity=rows))
+            Log(
+                f"{name} entry_capacity {rows} rows "
+                f"(probe: {int(padded)} padded / {int(entries)} entries, "
+                f"safe auto {safe})", tag="System",
+            )
+            if rows > self.CLIFF_ROWS:
+                Log(
+                    f"{name} entry_capacity {rows} exceeds the {self.CLIFF_ROWS}"
+                    f"-row gather VMEM cliff — expect ~1.7x slower binned "
+                    f"gathers (lower max_dup/tile_capacity to shrink demand)",
+                    tag="System",
+                )
+
+    def _bump_entry_capacity(self, overflow: int):
+        """Overflow backstop: raise the tracking slab capacity 1.5x (forces
+        a tracker recompile — loud) when drops exceed 1% of capacity."""
+        import dataclasses
+
+        from ..ops.binning import SLAB, auto_entry_capacity
+
+        cap = self.tcfg.entry_capacity
+        if cap is None or self._cap_bumps >= 3:
+            return
+        if overflow <= max(500, cap // 100):
+            return
+        tiles = (-(-self.intr.width // self.tcfg.tile_size)
+                 * -(-self.intr.height // self.tcfg.tile_size))
+        safe = auto_entry_capacity(
+            self.state.gmap.capacity, self.tcfg.max_dup, tiles,
+            self.tcfg.tile_capacity,
+        )
+        new = min(-(-(cap * 3 // 2) // SLAB) * SLAB, safe)
+        if new <= cap:
+            return
+        self._cap_bumps += 1
+        self.tcfg = dataclasses.replace(self.tcfg, entry_capacity=new)
+        Log(
+            f"binning overflow {overflow}: tracking entry_capacity "
+            f"{cap} -> {new} (recompile)", tag="System",
+        )
+
     def _maybe_grow(self):
         st = self.state
         free = st.gmap.capacity - int(st.gmap.num_active)
@@ -245,6 +341,7 @@ class SLAM:
             self.state, frame, 0, self.intr, self.mcfg, init=True
         )
         Log(f"Map init: {int(n_added)} Gaussians", tag="Mapper")
+        self._derive_entry_capacities(frame)
         self.state, vis = run_initialize_map(self.state, self.intr, self.mcfg)
         self.frames[0] = frame
         self.kf_list = [0]
@@ -278,6 +375,7 @@ class SLAM:
                 f"— raise Raster.tracking_tile_capacity/entry_capacity",
                 tag="Tracker",
             )
+        self._bump_entry_capacity(overflow)
         return frame, res
 
     def _mapper_keyframe(self, idx: int, window_frames: list, kf_list: list):
@@ -434,6 +532,14 @@ class SLAM:
         idxs = [i for i in sorted(self.est_poses)
                 if i % every == 0 and i not in self.kf_history]
         if not idxs:
+            # A fixed kf_interval==every makes every 5th frame a keyframe;
+            # stride over the NON-keyframe frames instead so held-out
+            # semantics survive (never fall back to keyframes unless the
+            # run really made every frame one).
+            non_kf = [i for i in sorted(self.est_poses)
+                      if i not in self.kf_history]
+            idxs = non_kf[::every]
+        if not idxs:
             Log("every frame is a keyframe; eval includes them", tag="Eval")
             idxs = [i for i in sorted(self.est_poses) if i % every == 0]
         res = eval_rendering(
@@ -551,6 +657,7 @@ class SLAM:
         mapper_thread.start()
 
         n = len(self.dataset) if n_frames is None else n_frames
+        wall0 = time.time()
         for idx in range(start_frame, n):
             t0 = time.time()
             if errors:
@@ -599,14 +706,27 @@ class SLAM:
         if errors:
             raise RuntimeError("mapper thread failed") from errors[0]
         drain_results()
+        self._record_fps(n - start_frame, time.time() - wall0)
         rmse = self.eval_ate(label="final")
         Log(f"final ATE RMSE {rmse:.4f} (async)", tag="Eval")
         return rmse
+
+    def _record_fps(self, n_frames: int, wall_s: float):
+        """End-to-end throughput of the frame loop (tracking + mapping +
+        IO; excludes eval/refine) — the reference's headline fps claim
+        (README.md:45)."""
+        fps = n_frames / max(wall_s, 1e-9)
+        self.metrics["fps"] = fps
+        self.metrics["wall_s"] = wall_s
+        Log(f"{n_frames} frames in {wall_s:.1f}s = {fps:.2f} fps",
+            tag="System")
+        self.wandb.log({"fps": fps})
 
     def run(self, n_frames: int | None = None, start_frame: int = 0):
         """Full sequential SLAM over the dataset (slam.py semantics).
         start_frame > 0 continues a resumed run (utils/ckpt.py)."""
         n = len(self.dataset) if n_frames is None else n_frames
+        wall0 = time.time()
         for idx in range(start_frame, n):
             self.process_frame(idx)
             if (
@@ -616,6 +736,7 @@ class SLAM:
             ):
                 rmse = self.eval_ate(label=f"{idx}")
                 Log(f"frame {idx}: ATE RMSE {rmse:.4f}", tag="Eval")
+        self._record_fps(n - start_frame, time.time() - wall0)
         rmse = self.eval_ate(label="final")
         Log(f"final ATE RMSE {rmse:.4f}", tag="Eval")
         if self.scfg.save_dir:

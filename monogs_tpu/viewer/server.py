@@ -35,18 +35,31 @@ button,select{background:#333;color:#ddd;border:1px solid #555;margin:2px}
   <select id="shader"><option>rgb</option><option>depth</option>
   <option>segmentation</option><option>time</option>
   <option>ellipsoids</option></select>
+  <select id="kf"><option value="">live cam</option></select>
   <button id="pause">pause</button>
   <button id="follow">follow cam</button>
+  <button id="shot">screenshot</button>
 </div>
 <img id="view" width="960">
 <img id="inputs" width="960" style="opacity:0.9">
 <script>
 let yaw=0,pitch=0,dist=0,panx=0,pany=0,follow=true,paused=false,busy=false;
 const img=document.getElementById('view');
+function view_q(){
+  const kf=document.getElementById('kf').value;
+  return `yaw=${yaw}&pitch=${pitch}&dist=${dist}&panx=${panx}&pany=${pany}&follow=${follow?1:0}&shader=${document.getElementById('shader').value}`+(kf?`&kf=${kf}`:'');
+}
 function refresh(){ if(busy) return; busy=true;
-  const q=`/render?yaw=${yaw}&pitch=${pitch}&dist=${dist}&panx=${panx}&pany=${pany}&follow=${follow?1:0}&shader=${document.getElementById('shader').value}`;
-  fetch(q).then(r=>r.blob()).then(b=>{img.src=URL.createObjectURL(b);busy=false;});
-  fetch('/state').then(r=>r.json()).then(s=>{document.getElementById('fidx').textContent=s.frame;});
+  fetch('/render?'+view_q()).then(r=>r.blob()).then(b=>{img.src=URL.createObjectURL(b);busy=false;});
+  fetch('/state').then(r=>r.json()).then(s=>{
+    document.getElementById('fidx').textContent=s.frame;
+    const sel=document.getElementById('kf');
+    const cur=sel.value;
+    const want=[''].concat(s.kfs||[]);
+    if(want.length!=sel.options.length){
+      sel.innerHTML=want.map(k=>`<option value="${k}">${k===''?'live cam':'kf '+k}</option>`).join('');
+      sel.value=cur;
+    }});
   fetch('/input').then(r=>r.blob()).then(b=>{document.getElementById('inputs').src=URL.createObjectURL(b);});
 }
 setInterval(refresh, 250);
@@ -59,18 +72,23 @@ window.onmousemove=e=>{if(!drag)return;
   px=e.x;py=e.y;};
 img.onwheel=e=>{dist+=e.deltaY*0.002;e.preventDefault();follow=false;};
 document.getElementById('pause').onclick=()=>{paused=!paused;fetch('/pause?on='+(paused?1:0));};
-document.getElementById('follow').onclick=()=>{follow=true;yaw=pitch=dist=panx=pany=0;};
+document.getElementById('follow').onclick=()=>{follow=true;yaw=pitch=dist=panx=pany=0;document.getElementById('kf').value='';};
+document.getElementById('shot').onclick=()=>{fetch('/screenshot?'+view_q()).then(r=>r.json()).then(s=>alert('saved '+s.path));};
 </script></body></html>"""
 
 
 class ViewerServer:
-    def __init__(self, render_fn, port: int = 8890):
-        """render_fn(pose_R, pose_t, shader) -> (H,W,3) float image in [0,1];
-        rendered with the SLAM rasterizer on the device."""
+    def __init__(self, render_fn, port: int = 8890, save_dir: str | None = None):
+        """render_fn(pose_R, pose_t, shader, full=False) -> (H,W,3) float
+        image in [0,1]; rendered with the SLAM rasterizer on the device.
+        save_dir receives /screenshot captures (reference screenshot flow,
+        slam_viewer.py:226-278 + save_gui utils)."""
         self.slot = LatestSlot()
         self.control = ViewerToMainPacket()
         self._render_fn = render_fn
         self._port = port
+        self._save_dir = save_dir
+        self._shot_count = 0
         self._httpd = None
         self._thread = None
 
@@ -104,9 +122,12 @@ class ViewerServer:
                     self._send(200, _PAGE.encode())
                 elif url.path == "/state":
                     pkt = viewer.slot.get()
+                    kfs = sorted(pkt.kf_poses.keys()) if (
+                        pkt and pkt.kf_poses) else []
                     body = json.dumps(
                         {"frame": pkt.cur_frame_idx if pkt else -1,
-                         "paused": viewer.control.paused}
+                         "paused": viewer.control.paused,
+                         "kfs": kfs}
                     ).encode()
                     self._send(200, body, "application/json")
                 elif url.path == "/pause":
@@ -118,6 +139,9 @@ class ViewerServer:
                 elif url.path == "/input":
                     img = viewer._input_view()
                     self._send(200, img, "image/png")
+                elif url.path == "/screenshot":
+                    body = viewer._screenshot(q)
+                    self._send(200, body, "application/json")
                 else:
                     self._send(404, b"not found")
 
@@ -136,13 +160,21 @@ class ViewerServer:
 
     def _orbit_pose(self, pkt, q):
         """Compose user orbit controls with the followed camera pose
-        (reference free-view via the o3d scene camera, slam_viewer.py:731)."""
+        (reference free-view via the o3d scene camera, slam_viewer.py:731).
+        `kf=<idx>` selects a keyframe's estimated pose as the base view
+        (reference per-KF view select, slam_viewer.py:226-278)."""
         import jax.numpy as jnp
 
         from ..ops import lie
 
         R, t = pkt.cur_pose if pkt.cur_pose else (np.eye(3), np.zeros(3))
-        if q.get("follow") == "1":
+        kf = q.get("kf")
+        if kf and pkt.kf_poses:
+            try:
+                R, t = pkt.kf_poses[int(kf)]
+            except (KeyError, ValueError):
+                pass
+        elif q.get("follow") == "1":
             return np.asarray(R), np.asarray(t)
         yaw = float(q.get("yaw", 0.0))
         pitch = float(q.get("pitch", 0.0))
@@ -178,7 +210,7 @@ class ViewerServer:
         strip = np.concatenate(panels, axis=1)
         return cv2.imencode(".png", strip)[1].tobytes()
 
-    def _render_view(self, q) -> bytes:
+    def _render_view(self, q, full: bool = False) -> bytes:
         import cv2
 
         pkt = self.slot.get()
@@ -187,10 +219,25 @@ class ViewerServer:
             ok, png = cv2.imencode(".png", blank)
             return png.tobytes()
         R, t = self._orbit_pose(pkt, q)
-        img = self._render_fn(R, t, q.get("shader", "rgb"))
+        img = self._render_fn(R, t, q.get("shader", "rgb"), full=full)
         img8 = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
         ok, png = cv2.imencode(".png", cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
         return png.tobytes()
+
+    def _screenshot(self, q) -> bytes:
+        """Render the requested view at FULL sensor resolution and save it
+        under <save_dir>/screenshots/ (reference screenshot flow)."""
+        import os
+
+        png = self._render_view(q, full=True)
+        out_dir = os.path.join(self._save_dir or ".", "screenshots")
+        os.makedirs(out_dir, exist_ok=True)
+        self._shot_count += 1
+        name = f"shot_{self._shot_count:04d}.png"
+        path = os.path.join(out_dir, name)
+        with open(path, "wb") as f:
+            f.write(png)
+        return json.dumps({"path": path}).encode()
 
 
 def make_render_fn(slam, max_width: int = 480):
@@ -203,10 +250,10 @@ def make_render_fn(slam, max_width: int = 480):
     from ..ops.graphics import Intrinsics
     from ..ops.render import render
 
-    def render_fn(R, t, shader="rgb"):
+    def render_fn(R, t, shader="rgb", full=False):
         st = slam.state.gmap
         intr = slam.intr
-        scale = min(1.0, max_width / intr.width)
+        scale = 1.0 if full else min(1.0, max_width / intr.width)
         view_intr = Intrinsics(
             fx=intr.fx * scale, fy=intr.fy * scale,
             cx=intr.cx * scale, cy=intr.cy * scale,

@@ -57,22 +57,52 @@ def main():
     # Aggregate complete events by name on TPU device tracks (pid of the
     # device track carries 'TPU' in its process_name metadata).
     pids = {}
+    tids = {}
     for ev in trace["traceEvents"]:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            pids[ev["pid"]] = ev["args"].get("name", "")
+        if ev.get("ph") == "M":
+            if ev.get("name") == "process_name":
+                pids[ev["pid"]] = ev["args"].get("name", "")
+            if ev.get("name") == "thread_name":
+                tids[(ev["pid"], ev["tid"])] = ev["args"].get("name", "")
     dev_pids = {p for p, n in pids.items() if "TPU" in n or "/device" in n}
+    # Only the "XLA Ops" lane holds leaf op spans; "Steps"/"XLA Modules"
+    # duplicate the same wall time as parent groupings.
+    op_tids = {k for k, n in tids.items()
+               if k[0] in dev_pids and n == "XLA Ops"}
+
+    # SELF time per event: trace spans nest (jit > while > op); summing raw
+    # durations double-counts parents (the r2 profile showed 248 "ms/iter"
+    # for a 64 ms iteration). Subtract each event's children via a stack
+    # sweep per (pid, tid) track.
+    tracks = defaultdict(list)
+    for ev in trace["traceEvents"]:
+        if ev.get("ph") != "X":
+            continue
+        if (ev.get("pid"), ev.get("tid", 0)) not in op_tids:
+            continue
+        tracks[(ev["pid"], ev.get("tid", 0))].append(ev)
 
     durs = defaultdict(float)
     counts = defaultdict(int)
     total = 0.0
-    for ev in trace["traceEvents"]:
-        if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
-            continue
-        name = ev.get("name", "?")
-        dur = ev.get("dur", 0) / 1e3  # us -> ms
-        durs[name] += dur
-        counts[name] += 1
-        total += dur
+    for evs in tracks.values():
+        evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack = []  # (end_ts, child_total_accum index into entries)
+        entries = []  # mutable [name, dur, child_total]
+        for ev in evs:
+            ts = ev["ts"]
+            dur = ev.get("dur", 0)
+            while stack and ts >= stack[-1][0]:
+                stack.pop()
+            if stack:
+                entries[stack[-1][1]][2] += dur
+            entries.append([ev.get("name", "?"), dur, 0.0])
+            stack.append((ts + dur, len(entries) - 1))
+        for name, dur, child in entries:
+            self_ms = max(dur - child, 0.0) / 1e3
+            durs[name] += self_ms
+            counts[name] += 1
+            total += self_ms
     print(f"\ntotal device op time in chunk: {total:.1f} ms "
           f"({n_steps} iters -> {total / n_steps:.1f} ms/iter)")
     print(f"{'op':70s} {'ms':>8s} {'n':>5s}")

@@ -140,6 +140,26 @@ def main():
         if args.ate_align:
             Log(f"aligned ATE {slam.eval_ate(label='aligned', align=True):.4f}",
                 tag="Eval")
+        # Run-summary artifact: throughput + telemetry next to the eval
+        # JSONs (reference keeps fps only in its README claims).
+        import json
+
+        summary = {
+            "n_frames": len(slam.metrics["frame_times"]),
+            "fps": slam.metrics.get("fps"),
+            "wall_s": slam.metrics.get("wall_s"),
+            "final_ate_rmse": rmse,
+            "tracking_iters_mean": (
+                float(sum(slam.metrics["tracking_iters"]))
+                / max(len(slam.metrics["tracking_iters"]), 1)
+            ),
+            "overflow_max": max(slam.metrics["overflow"], default=0),
+            "n_keyframes": len(slam.kf_history),
+            "map_active": int(slam.state.gmap.num_active),
+            "mode": "async" if use_async else "sync",
+        }
+        with open(os.path.join(save_dir, "metrics.json"), "w") as f:
+            json.dump(summary, f, indent=1)
     slam.wandb.finish()
     sync_hosts("run-end")
     return rmse

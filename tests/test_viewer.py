@@ -31,7 +31,7 @@ def _get(url):
         return r.status, r.headers.get("Content-Type"), r.read()
 
 
-def test_viewer_serves_pages_and_renders():
+def test_viewer_serves_pages_and_renders(tmp_path):
     ds = SyntheticDataset(CFG)
     slam = SLAM(
         ds,
@@ -45,7 +45,7 @@ def test_viewer_serves_pages_and_renders():
                                    backend="ref"),
         keyframe_config=KeyframeConfig(window_size=3),
         system_config=SystemConfig(map_capacity=2048, capacity_headroom=128,
-                                   eval_every=0),
+                                   eval_every=0, save_dir=str(tmp_path)),
     )
     viewer = slam.start_viewer(port=18899)
     try:
@@ -68,6 +68,25 @@ def test_viewer_serves_pages_and_renders():
 
         code, ctype, body = _get("http://127.0.0.1:18899/input")
         assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # Per-KF view select + full-res screenshot (VERDICT r1 #9;
+        # reference slam_viewer.py:226-278).
+        import json as _json
+        import os
+
+        code, _, body = _get("http://127.0.0.1:18899/state")
+        st = _json.loads(body)
+        assert st["kfs"], st
+        kf0 = st["kfs"][0]
+        code, ctype, body = _get(
+            f"http://127.0.0.1:18899/render?kf={kf0}&shader=rgb"
+        )
+        assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+        code, _, body = _get(
+            f"http://127.0.0.1:18899/screenshot?kf={kf0}&shader=rgb"
+        )
+        shot = _json.loads(body)["path"]
+        assert os.path.exists(shot) and os.path.getsize(shot) > 500
 
         # Pause relay (ViewerToMainPacket counterpart).
         _get("http://127.0.0.1:18899/pause?on=1")
