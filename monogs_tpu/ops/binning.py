@@ -76,6 +76,14 @@ class TileBins(NamedTuple):
                                 #   gaussian's LAST entry; sentinel
                                 #   entry_capacity when it has none
     overflow: jnp.ndarray       # () int32: dropped entries (all caps)
+    overflow_parts: jnp.ndarray  # (4,) int32 decomposition of `overflow`:
+                                #   [0] coverage > max_dup_gen (gen width)
+                                #   [1] cull survivors > max_dup (compaction)
+                                #   [2] per-tile count > tile_capacity
+                                #   [3] slab truncation at entry_capacity
+                                # Only [3] is fixable by raising
+                                # entry_capacity; [0]/[1] need max_dup_gen/
+                                # max_dup, [2] needs tile_capacity.
 
 
 def auto_entry_capacity(n: int, max_dup: int, num_tiles: int,
@@ -388,15 +396,16 @@ def tile_bin(
          (gsort_gauss[1:] != gsort_gauss[:-1]).astype(jnp.int32)]
     )
 
-    overflow = (
-        jnp.sum(jnp.maximum(n_cover - D_gen, 0))
-        + jnp.sum(jnp.maximum(surv_gen - max_dup, 0))
-        + jnp.sum(jnp.maximum(seg_counts - K, 0))
-        + jnp.sum(counts - counts_eff)
-    )
+    overflow_parts = jnp.stack([
+        jnp.sum(jnp.maximum(n_cover - D_gen, 0)),
+        jnp.sum(jnp.maximum(surv_gen - max_dup, 0)),
+        jnp.sum(jnp.maximum(seg_counts - K, 0)),
+        jnp.sum(counts - counts_eff),
+    ]).astype(jnp.int32)
     return TileBins(index_matrix=index_matrix, counts=counts_eff,
                     pstart_blk=pstart_blk, owner_blk=owner_blk,
                     seg_first=seg_first,
                     gauss_of_pos=gauss_of_pos, gsort_pos=gsort_pos,
                     gseg_start=gseg_start, g_last=g_last,
-                    overflow=overflow.astype(jnp.int32))
+                    overflow=jnp.sum(overflow_parts),
+                    overflow_parts=overflow_parts)

@@ -49,6 +49,7 @@ class RenderOutput(NamedTuple):
     n_touched: jnp.ndarray  # (N,) int32 per-Gaussian contributing-pixel count
     radii: jnp.ndarray      # (N,) float screen radius (0 = culled)
     overflow: jnp.ndarray   # () int32 binning-capacity diagnostics
+    overflow_parts: jnp.ndarray  # (4,) int32 (see binning.TileBins)
 
 
 def _assemble_image(out: jnp.ndarray, cfg: RasterConfig) -> jnp.ndarray:
@@ -178,6 +179,7 @@ def render_projected(
         n_touched=n_touched,
         radii=proj.radius,
         overflow=bins.overflow,
+        overflow_parts=bins.overflow_parts,
     )
 
 
@@ -188,6 +190,7 @@ class WindowRenderOutput(NamedTuple):
     n_touched: jnp.ndarray  # (W, N)
     radii: jnp.ndarray      # (W, N)
     overflow: jnp.ndarray   # () summed over window
+    overflow_parts: jnp.ndarray  # (4,) summed over window (binning.TileBins)
 
 
 def render_window(
@@ -273,21 +276,21 @@ def render_window(
             feats = (u, v, *conic_ch, opa, proj.depth)
         return (feats, bins_kf.index_matrix, bins_kf.pstart_blk,
                 bins_kf.owner_blk, bins_kf.seg_first, bins_kf.counts,
-                proj.radius, bins_kf.overflow,
+                proj.radius, bins_kf.overflow, bins_kf.overflow_parts,
                 bins_kf.gauss_of_pos, bins_kf.gsort_pos,
                 bins_kf.gseg_start, bins_kf.g_last)
 
     if bins is None:
         (feats, idx_mats, pstarts, owners, firsts, counts, radii,
-         overflows, gops, gsps, gsfs, glasts) = jax.vmap(
+         overflows, overflow_parts, gops, gsps, gsfs, glasts) = jax.vmap(
             lambda R, t, rho, theta, du, dv: per_kf(R, t, rho, theta,
                                                     du, dv, None)
         )(Rs, ts, rhos, thetas, dum_u, dum_v)
     else:
         (feats, idx_mats, pstarts, owners, firsts, counts, radii,
-         overflows, gops, gsps, gsfs, glasts) = jax.vmap(per_kf)(
-            Rs, ts, rhos, thetas, dum_u, dum_v, bins
-        )
+         overflows, overflow_parts, gops, gsps, gsfs, glasts) = jax.vmap(
+            per_kf
+        )(Rs, ts, rhos, thetas, dum_u, dum_v, bins)
 
     T = idx_mats.shape[1]
     K = idx_mats.shape[2]
@@ -339,6 +342,7 @@ def render_window(
         rgb=rgb, depth=imgs[..., 3], opacity=alpha,
         n_touched=n_touched, radii=radii,
         overflow=jnp.sum(overflows),
+        overflow_parts=jnp.sum(overflow_parts, axis=0),
     )
 
 

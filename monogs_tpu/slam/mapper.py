@@ -171,6 +171,7 @@ class MappingAux(NamedTuple):
     visibility: jnp.ndarray   # (Wc, C) bool — n_touched > 0 per window slot
     vis_filter: jnp.ndarray   # (Wc, C) bool — radii > 0 (visibility_filter)
     overflow: jnp.ndarray
+    overflow_parts: jnp.ndarray  # (4,) int32 (see binning.TileBins)
 
 
 # ---------------------------------------------------------------------------
@@ -359,6 +360,7 @@ def _mapping_iter(
         visibility=jnp.zeros_like(vis_filter) & window.valid[:, None],
         vis_filter=vis_filter & window.valid[:, None],
         overflow=out.overflow,
+        overflow_parts=out.overflow_parts,
     )
     return new_state, aux
 
@@ -397,6 +399,7 @@ def mapping_chunk(
         visibility=jnp.zeros((Wc, C), bool),
         vis_filter=jnp.zeros((Wc, C), bool),
         overflow=jnp.zeros((), jnp.int32),
+        overflow_parts=jnp.zeros((4,), jnp.int32),
     )
 
     # The loop carry holds ONLY what an iteration mutates; the window's
@@ -682,8 +685,11 @@ def run_optimize_map(
         if overflow > 1000:
             from ..utils.logging import Log
 
-            Log(f"binning overflow {overflow} entries — consider larger "
-                f"tile_capacity/max_dup", tag="Mapper")
+            p = [int(x) for x in aux.overflow_parts]
+            Log(f"binning overflow {overflow} entries/iter "
+                f"(gen-width {p[0]} / dup-cap {p[1]} / tile-cap {p[2]} / "
+                f"slab-cap {p[3]}) — raise max_dup_gen / max_dup / "
+                f"tile_capacity / entry_capacity respectively", tag="Mapper")
         update_gaussian = (
             it % cfg.gaussian_update_every == cfg.gaussian_update_offset
         )

@@ -292,7 +292,11 @@ class SLAM:
 
     def _bump_entry_capacity(self, overflow: int):
         """Overflow backstop: raise the tracking slab capacity 1.5x (forces
-        a tracker recompile — loud) when drops exceed 1% of capacity."""
+        a tracker recompile — loud) when ENTRY-CAPACITY drops exceed 1% of
+        capacity. Only the slab-truncation component of the overflow counter
+        is passed here (overflow_parts[3]) — drops from the per-gaussian
+        duplicate caps or the per-tile capacity cannot be fixed by a larger
+        slab, and bumping on them wastes multi-minute recompiles."""
         import dataclasses
 
         from ..ops.binning import SLAB, auto_entry_capacity
@@ -366,16 +370,28 @@ class SLAM:
         self.median_depth = float(res.median_depth)
         self.metrics["tracking_iters"].append(int(res.n_iters))
         # Binning-capacity telemetry (VERDICT r1 #6: a scene past capacity
-        # must degrade loudly, not silently).
+        # must degrade loudly, not silently). The decomposition picks the
+        # right knob: only slab truncation (parts[3]) is fixable by the
+        # entry-capacity bump backstop.
         overflow = int(res.overflow)
+        parts = [int(x) for x in res.overflow_parts]
         self.metrics["overflow"].append(overflow)
         if overflow > 100:
+            advice = []
+            if parts[0] or parts[1]:
+                advice.append(
+                    f"max_dup_gen/max_dup (+{parts[0]}/+{parts[1]} "
+                    f"wide-gaussian dups)")
+            if parts[2]:
+                advice.append(f"tile_capacity (+{parts[2]} dense-tile)")
+            if parts[3]:
+                advice.append(f"entry_capacity (+{parts[3]} slab)")
             Log(
                 f"tracking frame {idx}: binning dropped {overflow} entries "
-                f"— raise Raster.tracking_tile_capacity/entry_capacity",
+                f"— raise {'; '.join(advice)}",
                 tag="Tracker",
             )
-        self._bump_entry_capacity(overflow)
+        self._bump_entry_capacity(parts[3])
         return frame, res
 
     def _mapper_keyframe(self, idx: int, window_frames: list, kf_list: list):

@@ -74,6 +74,7 @@ class TrackResult(NamedTuple):
     render_depth: jnp.ndarray    # (H,W)
     render_opacity: jnp.ndarray  # (H,W)
     overflow: jnp.ndarray        # () int32 binning entries dropped (final render)
+    overflow_parts: jnp.ndarray  # (4,) int32 decomposition (binning.TileBins)
 
 
 class _Adam4(NamedTuple):
@@ -240,4 +241,5 @@ def track_frame(
         visibility=out.n_touched > 0,
         render_depth=out.depth, render_opacity=out.opacity,
         overflow=out.overflow,
+        overflow_parts=out.overflow_parts,
     )

@@ -345,6 +345,12 @@ def test_binning_overflow_reported():
         img_w=W, img_h=H, tile_size=TILE, tile_capacity=CAP, max_dup=2,
     )
     assert int(bins.overflow) > 0
+    # The decomposition sums to the total and attributes these drops to the
+    # duplicate-generation width (max_dup_gen defaults to max_dup=2, so wide
+    # coverage is dropped at generation), not to tile/slab capacity.
+    parts = [int(x) for x in bins.overflow_parts]
+    assert sum(parts) == int(bins.overflow)
+    assert parts[0] > 0
 
 
 def test_binning_survivor_compaction_matches_wide():
