@@ -13,9 +13,23 @@ is correct under autodiff (both branches evaluated on safe inputs).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+
+# All matrix products in this module are tiny (3x3 / 3-vector) but sit on
+# the POSE COMPOSITION chain, which is applied thousands of times per run
+# (every tracking/mapping iteration retracts T <- SE3_exp(tau) @ T). On TPU
+# a default-precision f32 matmul executes as bf16 multiplies on the MXU
+# (~4e-3 relative error per compose): measured on the 200-frame room run,
+# det(R_est) random-walked to 1.54 by frame 40 — the estimated "rotations"
+# sheared off SO(3) and tracking collapsed (ATE 0.015 -> 0.54 m) while every
+# CPU repro (f32-exact matmuls) stayed at det = 1 +- 2e-7. HIGHEST forces
+# true f32 multiplies; at 3x3 the cost is unmeasurable.
+_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
 def skew(v: jnp.ndarray) -> jnp.ndarray:
@@ -55,7 +69,7 @@ def _sinc_coeffs(angle_sq: jnp.ndarray):
 def so3_exp(theta: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: (3,) rotation vector -> (3,3) rotation matrix."""
     W = skew(theta)
-    W2 = W @ W
+    W2 = _mm(W, W)
     angle_sq = jnp.sum(theta * theta)
     A, B, _ = _sinc_coeffs(angle_sq)
     return jnp.eye(3, dtype=theta.dtype) + A * W + B * W2
@@ -64,7 +78,7 @@ def so3_exp(theta: jnp.ndarray) -> jnp.ndarray:
 def so3_left_jacobian(theta: jnp.ndarray) -> jnp.ndarray:
     """Left Jacobian V(theta) of SO(3) (reference pose_utils.py:43-58)."""
     W = skew(theta)
-    W2 = W @ W
+    W2 = _mm(W, W)
     angle_sq = jnp.sum(theta * theta)
     _, B, C = _sinc_coeffs(angle_sq)
     return jnp.eye(3, dtype=theta.dtype) + B * W + C * W2
@@ -77,7 +91,7 @@ def se3_exp(tau: jnp.ndarray) -> jnp.ndarray:
     """
     rho, theta = tau[:3], tau[3:]
     R = so3_exp(theta)
-    t = so3_left_jacobian(theta) @ rho
+    t = _mm(so3_left_jacobian(theta), rho)
     T = jnp.eye(4, dtype=tau.dtype)
     T = T.at[:3, :3].set(R)
     T = T.at[:3, 3].set(t)
@@ -110,8 +124,8 @@ def apply_pose_delta(R: jnp.ndarray, t: jnp.ndarray, rho: jnp.ndarray,
     """
     tau = jnp.concatenate([rho, theta])
     dT = se3_exp(tau)
-    R_new = dT[:3, :3] @ R
-    t_new = dT[:3, :3] @ t + dT[:3, 3]
+    R_new = _mm(dT[:3, :3], R)
+    t_new = _mm(dT[:3, :3], t) + dT[:3, 3]
     return R_new, t_new
 
 

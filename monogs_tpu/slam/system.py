@@ -80,6 +80,16 @@ class _FramePrefetcher:
             return None
 
 
+def const_velocity_init(prev: tuple, prev2: tuple) -> tuple:
+    """SE(3) constant-velocity extrapolation on w2c (R, t) numpy pairs:
+    T_init = (T_prev T_prev2^-1) T_prev (TrackerConfig.const_velocity)."""
+    prev_R, prev_t = prev
+    R2, t2 = prev2
+    R_rel = prev_R @ R2.T
+    t_rel = prev_t - R_rel @ t2
+    return R_rel @ prev_R, R_rel @ prev_t + t_rel
+
+
 class SLAM:
     def __init__(
         self,
@@ -201,7 +211,16 @@ class SLAM:
         return frame
 
     def _record_pose(self, idx: int, R, t):
-        self.est_poses[idx] = (np.asarray(R), np.asarray(t))
+        # Defensive SO(3) projection (ops/lie.py precision note): est_poses
+        # seed the next frame's tracking init and the ATE eval, so any
+        # residual off-manifold drift in the device-side retraction chain is
+        # squashed here (3x3 SVD per frame, host-side, free).
+        R = np.asarray(R, np.float64)
+        U, _, Vt = np.linalg.svd(R)
+        S = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+        self.est_poses[idx] = (
+            (U @ S @ Vt).astype(np.float32), np.asarray(t)
+        )
 
     def _gc_frames(self):
         keep = set(self.kf_list) | {max(self.frames.keys(), default=0)}
@@ -356,8 +375,13 @@ class SLAM:
     def track(self, idx: int, frame: Frame) -> tuple[Frame, object]:
         """Track one frame against the current map (slam_tracker.py:83-193)."""
         prev_R, prev_t = self.est_poses[idx - 1]
+        init_R, init_t = prev_R, prev_t
+        if self.tcfg.const_velocity and (idx - 2) in self.est_poses:
+            init_R, init_t = const_velocity_init(
+                (prev_R, prev_t), self.est_poses[idx - 2]
+            )
         frame = frame._replace(
-            R=jnp.asarray(prev_R, jnp.float32), t=jnp.asarray(prev_t, jnp.float32)
+            R=jnp.asarray(init_R, jnp.float32), t=jnp.asarray(init_t, jnp.float32)
         )
         res = track_frame(
             self.state.gmap.params, self.state.gmap.active, frame, self.intr,
@@ -751,7 +775,13 @@ class SLAM:
                 and idx % self.scfg.eval_every == 0
             ):
                 rmse = self.eval_ate(label=f"{idx}")
-                Log(f"frame {idx}: ATE RMSE {rmse:.4f}", tag="Eval")
+                it = self.metrics["tracking_iters"][-self.scfg.eval_every:]
+                Log(
+                    f"frame {idx}: ATE RMSE {rmse:.4f} "
+                    f"(tracking iters last {len(it)}: "
+                    f"mean {sum(it) / max(len(it), 1):.0f} max {max(it)})",
+                    tag="Eval",
+                )
         self._record_fps(n - start_frame, time.time() - wall0)
         rmse = self.eval_ate(label="final")
         Log(f"final ATE RMSE {rmse:.4f}", tag="Eval")

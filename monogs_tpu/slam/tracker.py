@@ -60,6 +60,15 @@ class TrackerConfig:
     entry_capacity: int | None = None  # slab rows; None = safe auto
     backend: str = "pallas"
     isotropic: bool = False
+    # Constant-velocity pose initialization: T_init = (T_{k-1} T_{k-2}^-1)
+    # T_{k-1} instead of T_{k-1}. The reference tried and disabled this
+    # (slam_tracker.py:92-100 commented out, "seems to be worse" — handheld
+    # TUM jitter makes extrapolation noisy); for fast smooth trajectories
+    # (e.g. the synthetic room orbit at ~0.9 deg/frame) the previous-pose
+    # init starts tens of pixels outside the loss basin and extrapolation
+    # is the difference between locking and drifting. Host-side knob (the
+    # jitted loop is unchanged).
+    const_velocity: bool = False
 
 
 class TrackResult(NamedTuple):

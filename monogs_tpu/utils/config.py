@@ -66,6 +66,7 @@ def build_tracker_config(cfg: dict, backend: str = "pallas"):
         entry_capacity=g("Raster", "tracking_entry_capacity", d=None),
         backend=backend,
         isotropic=g("Gaussians", "isotropic", d=False),
+        const_velocity=g("Training", "const_velocity", d=False),
     )
 
 

@@ -118,3 +118,29 @@ def test_quat_to_rotmat_matches_so3_exp():
     np.testing.assert_allclose(
         lie.quat_to_rotmat(q), lie.so3_exp(theta), atol=1e-5
     )
+
+
+def test_pose_composition_stays_on_so3_under_bf16_matmul_default():
+    """The retraction chain must hold SO(3) even when the platform default
+    lowers f32 matmuls to bf16 (TPU MXU behavior): lie.py pins HIGHEST
+    precision on its 3x3 products. Measured failure without the pin: det(R)
+    walked to 1.54 over ~4k composes on TPU v5e and tracking collapsed."""
+    import jax
+    import jax.numpy as jnp
+
+    from monogs_tpu.ops import lie
+
+    R = jnp.eye(3)
+    t = jnp.zeros(3)
+    key = jax.random.PRNGKey(1)
+    with jax.default_matmul_precision("bfloat16"):
+        step = jax.jit(lie.apply_pose_delta)
+        for _ in range(300):
+            key, k1, k2 = jax.random.split(key, 3)
+            R, t = step(
+                R, t,
+                1e-3 * jax.random.normal(k1, (3,)),
+                3e-3 * jax.random.normal(k2, (3,)),
+            )
+    det = float(jnp.linalg.det(R))
+    assert abs(det - 1.0) < 1e-4, det

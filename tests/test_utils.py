@@ -199,3 +199,34 @@ def test_probe_derived_entry_capacity_and_bump():
             slam.state.gmap.capacity, slam.tcfg.max_dup, tiles,
             slam.tcfg.tile_capacity,
         )
+
+
+def test_const_velocity_init_exact_on_constant_motion():
+    """SE(3) extrapolation reproduces the next pose exactly for a constant
+    rigid motion (TrackerConfig.const_velocity; reference slam_tracker.py
+    :92-100 has this commented out)."""
+    import numpy as np
+
+    from monogs_tpu.slam.system import const_velocity_init
+
+    rng = np.random.RandomState(0)
+
+    def rot(ax, angle):
+        ax = ax / np.linalg.norm(ax)
+        K = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                      [-ax[1], ax[0], 0]])
+        return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * K @ K
+
+    R_step = rot(rng.randn(3), 0.05)
+    t_step = rng.randn(3) * 0.02
+    T_step = np.eye(4)
+    T_step[:3, :3], T_step[:3, 3] = R_step, t_step
+    T0 = np.eye(4)
+    T0[:3, :3], T0[:3, 3] = rot(rng.randn(3), 0.7), rng.randn(3)
+    T1 = T_step @ T0
+    T2 = T_step @ T1
+    R, t = const_velocity_init(
+        (T1[:3, :3], T1[:3, 3]), (T0[:3, :3], T0[:3, 3])
+    )
+    np.testing.assert_allclose(R, T2[:3, :3], atol=1e-12)
+    np.testing.assert_allclose(t, T2[:3, 3], atol=1e-12)
