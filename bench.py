@@ -113,32 +113,51 @@ def main():
         "reps": reps,
     }
 
-    if os.environ.get("MONOGS_BENCH_MAPPING", "0") == "1":
-        # Secondary metric (VERDICT r1 #3): mapping-iteration latency at
-        # window 8 / 80k live / 640x480 (the scripts/bench_mapping.py
-        # workload). Env-gated: the extra mapping_chunk cold compile costs
-        # minutes through the axon tunnel, which would risk the driver's
-        # bench timeout on every round.
+    # Backend hot loop (VERDICT r2 #5: the bench of record must carry
+    # mapping, not just the frontend): mapping-iteration latency at
+    # window 8 / 80k live / 640x480 (the scripts/bench_mapping.py
+    # workload). MONOGS_BENCH_FAST=1 skips it (one extra cold compile).
+    if os.environ.get("MONOGS_BENCH_FAST", "0") != "1":
         import sys
 
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from scripts.bench_mapping import build_state
 
-        from monogs_tpu.slam.mapper import MapperConfig, mapping_chunk
+        from monogs_tpu.slam.mapper import MapperConfig, mapping_span
 
         mstate, mintr = build_state()
         mcfg = MapperConfig(entry_capacity=210432)
         n_steps = mcfg.rebin_every
-        st, aux = mapping_chunk(mstate, mintr, mcfg, False, n_steps)
+        st, aux = mapping_span(mstate, mintr, mcfg, False, 0, n_steps)
         _ = float(aux.loss)  # fence
         mtimes = []
         for _ in range(5):
             t0 = time.perf_counter()
-            st, aux = mapping_chunk(st, mintr, mcfg, False, n_steps)
+            st, aux = mapping_span(st, mintr, mcfg, False, 0, n_steps)
             _ = float(aux.loss)
             mtimes.append((time.perf_counter() - t0) / n_steps * 1000.0)
         mtimes.sort()
         record["mapping_iter_ms_w8_80k"] = round(mtimes[len(mtimes) // 2], 3)
+
+    # End-to-end throughput of the latest COMMITTED full run (results/
+    # metrics.json artifacts): fps is a property of a whole SLAM run, not
+    # something a bench process can re-measure inside its budget.
+    latest = None
+    for root, _dirs, files in os.walk("results"):
+        if "metrics.json" in files:
+            p = os.path.join(root, "metrics.json")
+            # Run dirs are results/<scene>/<YYYY-MM-DD-HH-MM-SS>/: the
+            # timestamp basename orders runs across scene dirs.
+            if latest is None or os.path.basename(root) > os.path.basename(
+                os.path.dirname(latest)
+            ):
+                latest = p
+    if latest:
+        with open(latest) as f:
+            m = json.load(f)
+        if m.get("fps"):
+            record["e2e_fps_committed"] = round(m["fps"], 4)
+            record["e2e_fps_run"] = os.path.dirname(latest)
 
     print(json.dumps(record))
 

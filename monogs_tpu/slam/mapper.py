@@ -167,8 +167,13 @@ def init_mapper_state(capacity: int, nr_objects: int, window: Window,
 
 
 class MappingAux(NamedTuple):
+    # NOTE: per-iteration n_touched visibility is deliberately NOT computed
+    # in the hot loop (the reference refreshes occ_aware_visibility every
+    # iteration, slam_mapper.py:400-404); the host gets it from
+    # visibility_pass at cadence boundaries instead. Equivalence of the two
+    # accountings for prune decisions is asserted by
+    # tests/test_slam_e2e.py::test_visibility_cadence_matches_per_iteration.
     loss: jnp.ndarray
-    visibility: jnp.ndarray   # (Wc, C) bool — n_touched > 0 per window slot
     vis_filter: jnp.ndarray   # (Wc, C) bool — radii > 0 (visibility_filter)
     overflow: jnp.ndarray
     overflow_parts: jnp.ndarray  # (4,) int32 (see binning.TileBins)
@@ -355,9 +360,6 @@ def _mapping_iter(
     )
     aux = MappingAux(
         loss=loss,
-        # n_touched is skipped in the hot loop (with_n_touched=False above);
-        # visibility comes from visibility_pass at cadence boundaries.
-        visibility=jnp.zeros_like(vis_filter) & window.valid[:, None],
         vis_filter=vis_filter & window.valid[:, None],
         overflow=out.overflow,
         overflow_parts=out.overflow_parts,
@@ -377,6 +379,39 @@ def mapping_step(
     return _mapping_iter(state, intr, cfg, init, bins, gt_tiles)
 
 
+# The loop carry holds ONLY what an iteration mutates; the window's
+# images (rgb/depth/segmentation/masks, ~50 MB at window 8 / 640x480)
+# stay closure constants. Measured perf-neutral on v5e (81.5 vs 80.8
+# ms/iter — XLA already forwarded the invariant carry buffers without
+# copies), kept for the smaller carry and explicit mutation set.
+
+
+def _state_to_mut(state: MapperState):
+    f = state.window.frames
+    return (state.gmap, state.adam, state.pose_adam, state.nr_iters,
+            state.rng, f.R, f.t, f.exposure_a, f.exposure_b)
+
+
+def _mut_to_state(mut, template: MapperState) -> MapperState:
+    gmap, adam, pose_adam, nr_iters, rng, R, t, ea, eb = mut
+    frames = template.window.frames._replace(
+        R=R, t=t, exposure_a=ea, exposure_b=eb
+    )
+    return template._replace(
+        gmap=gmap, adam=adam, pose_adam=pose_adam, nr_iters=nr_iters,
+        rng=rng, window=template.window._replace(frames=frames),
+    )
+
+
+def _zero_aux(Wc: int, C: int) -> MappingAux:
+    return MappingAux(
+        loss=jnp.zeros(()),
+        vis_filter=jnp.zeros((Wc, C), bool),
+        overflow=jnp.zeros((), jnp.int32),
+        overflow_parts=jnp.zeros((4,), jnp.int32),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("intr", "cfg", "init", "n_steps")
 )
@@ -387,52 +422,63 @@ def mapping_chunk(
     """n_steps mapping iterations in ONE device program: tile binning once
     at chunk start, then a fori_loop of iterations on frozen bins. Collapses
     per-iteration host dispatch (measured ~50ms/call through the axon
-    tunnel) into one launch; the host only intervenes at cadence events."""
+    tunnel) into one launch; the host only intervenes at cadence events.
+    Static n_steps — kept for benches/tests; the SLAM drivers use
+    mapping_span (dynamic trip counts, one compile covers every gap)."""
     bins = _window_bins_traced(state, intr, cfg)
     # Ground-truth tiling + binning live OUTSIDE the fori body (closure
     # capture, not loop carry): computed once per chunk.
     gt_tiles = _tile_window_gt(state.window, intr, cfg)
-    Wc = state.window.capacity
-    C = state.gmap.capacity
-    aux0 = MappingAux(
-        loss=jnp.zeros(()),
-        visibility=jnp.zeros((Wc, C), bool),
-        vis_filter=jnp.zeros((Wc, C), bool),
-        overflow=jnp.zeros((), jnp.int32),
-        overflow_parts=jnp.zeros((4,), jnp.int32),
-    )
+    aux0 = _zero_aux(state.window.capacity, state.gmap.capacity)
 
-    # The loop carry holds ONLY what an iteration mutates; the window's
-    # images (rgb/depth/segmentation/masks, ~50 MB at window 8 / 640x480)
-    # stay closure constants. Measured perf-neutral on v5e (81.5 vs 80.8
-    # ms/iter — XLA already forwarded the invariant carry buffers without
-    # copies), kept for the smaller carry and explicit mutation set.
     def body(i, carry):
-        st_mut, _ = carry
-        gmap, adam, pose_adam, nr_iters, rng, R, t, ea, eb = st_mut
-        frames = state.window.frames._replace(
-            R=R, t=t, exposure_a=ea, exposure_b=eb
-        )
-        st = state._replace(
-            gmap=gmap, adam=adam, pose_adam=pose_adam, nr_iters=nr_iters,
-            rng=rng, window=state.window._replace(frames=frames),
-        )
+        st = _mut_to_state(carry[0], state)
         st, aux = _mapping_iter(st, intr, cfg, init, bins, gt_tiles)
-        f = st.window.frames
-        return (st.gmap, st.adam, st.pose_adam, st.nr_iters, st.rng,
-                f.R, f.t, f.exposure_a, f.exposure_b), aux
+        return _state_to_mut(st), aux
 
-    f0 = state.window.frames
-    mut0 = (state.gmap, state.adam, state.pose_adam, state.nr_iters,
-            state.rng, f0.R, f0.t, f0.exposure_a, f0.exposure_b)
-    mut, aux = jax.lax.fori_loop(0, n_steps, body, (mut0, aux0))
-    gmap, adam, pose_adam, nr_iters, rng, R, t, ea, eb = mut
-    frames = f0._replace(R=R, t=t, exposure_a=ea, exposure_b=eb)
-    final = state._replace(
-        gmap=gmap, adam=adam, pose_adam=pose_adam, nr_iters=nr_iters,
-        rng=rng, window=state.window._replace(frames=frames),
+    mut, aux = jax.lax.fori_loop(0, n_steps, body, (_state_to_mut(state), aux0))
+    return _mut_to_state(mut, state), aux
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg", "init"))
+def mapping_span(
+    state: MapperState, intr: Intrinsics, cfg: MapperConfig, init: bool,
+    n_segments, tail_len,
+):
+    """n_segments * rebin_every + tail_len mapping iterations in ONE device
+    program, re-binning every rebin_every iterations (unconditional segment
+    structure — a lax.cond-gated rebin measured +22 ms/iter, CLAUDE.md).
+
+    The trip counts are TRACED scalars, so one compiled program covers every
+    cadence gap — this removes the round-2 single-step chunk walk (VERDICT
+    weak #7: chunk sizes were restricted to {rebin_every, 1} because every
+    static n_steps is a separate multi-minute remote compile, and a <8-iter
+    gap paid the ~50 ms dispatch floor per iteration, up to 7x per event
+    window). A whole inter-event gap is now one dispatch. Callers must keep
+    tail_len in [1, rebin_every] (the tail segment always rebins once).
+    """
+    gt_tiles = _tile_window_gt(state.window, intr, cfg)
+    aux0 = _zero_aux(state.window.capacity, state.gmap.capacity)
+
+    def segment(carry, m):
+        """Rebin at segment start, then m iterations on frozen bins."""
+        st0 = _mut_to_state(carry[0], state)
+        bins = _window_bins_traced(st0, intr, cfg)
+
+        def body(i, c):
+            st = _mut_to_state(c[0], state)
+            st, aux = _mapping_iter(st, intr, cfg, init, bins, gt_tiles)
+            return _state_to_mut(st), aux
+
+        return jax.lax.fori_loop(0, m, body, carry)
+
+    carry = jax.lax.fori_loop(
+        0, n_segments,
+        lambda s, c: segment(c, cfg.rebin_every),
+        (_state_to_mut(state), aux0),
     )
-    return final, aux
+    mut, aux = segment(carry, tail_len)
+    return _mut_to_state(mut, state), aux
 
 
 # ---------------------------------------------------------------------------
@@ -560,7 +606,10 @@ def _refine_iter(state: MapperState, frame: Frame, intr: Intrinsics,
                  cfg: MapperConfig):
     """One color-refinement iteration (slam_mapper.py:502-548):
     (1-lambda)*L1 + lambda*(1-SSIM) on a random keyframe, Gaussian params
-    only."""
+    only. The keyframe's tracked exposure affine is applied to the render
+    (the mapping loss optimized map colors in exposure-free space,
+    losses.get_loss_mapping; comparing a raw render against the
+    exposure-distorted gt would fight that — round-2 VERDICT #9)."""
     gmap = state.gmap
 
     def loss_fn(params):
@@ -573,8 +622,9 @@ def _refine_iter(state: MapperState, frame: Frame, intr: Intrinsics,
             max_dup_gen=cfg.max_dup_gen, entry_capacity=cfg.entry_capacity,
             backend=cfg.backend,
         )
-        l1 = l1_loss(out.rgb, frame.rgb)
-        s = ssim(out.rgb, frame.rgb)
+        rgb = jnp.exp(frame.exposure_a) * out.rgb + frame.exposure_b
+        l1 = l1_loss(rgb, frame.rgb)
+        s = ssim(rgb, frame.rgb)
         return (1.0 - cfg.lambda_ssim) * l1 + cfg.lambda_ssim * (1.0 - s)
 
     grads = jax.grad(loss_fn)(gmap.params)
@@ -630,17 +680,23 @@ def _next_event(cur: int, moduli_offsets) -> int:
     return best
 
 
+def _span_args(n: int, rebin_every: int) -> tuple[int, int]:
+    """Decompose n >= 1 iterations into (n_segments, tail) with
+    tail in [1, rebin_every] for mapping_span."""
+    n_seg = (n - 1) // rebin_every
+    return n_seg, n - n_seg * rebin_every
+
+
 def run_initialize_map(state: MapperState, intr: Intrinsics, cfg: MapperConfig,
                        log=None):
     """initialize_map (slam_mapper.py:169-241): init_itr_num iterations on
     the init keyframe with densify every init_gaussian_update and an opacity
-    reset at init_gaussian_reset. Iterations run in jitted chunks between
-    cadence events. Returns (state, visibility (Wc,C))."""
-    aux = None
-    start = int(state.nr_iters)
-    end = start + cfg.init_itr_num
-    while int(state.nr_iters) < end:
-        cur = int(state.nr_iters)
+    reset at init_gaussian_reset. Runs device-side spans between cadence
+    events — one dispatch per gap; the iteration count is tracked host-side
+    (no per-chunk nr_iters readback). Returns (state, visibility (Wc,C))."""
+    cur = int(state.nr_iters)
+    end = cur + cfg.init_itr_num
+    while cur < end:
         # Events fire after iterations where (it-1) % update == 0 or
         # it == init_gaussian_reset.
         stop = min(
@@ -649,14 +705,12 @@ def run_initialize_map(state: MapperState, intr: Intrinsics, cfg: MapperConfig,
             else 1 << 30,
             end,
         )
-        # Chunk sizes restricted to {rebin_every, 1}: every distinct
-        # n_steps is a separate (expensive, remotely compiled) program.
-        n = cfg.rebin_every if stop - cur >= cfg.rebin_every else 1
-        state, aux = mapping_chunk(state, intr, cfg, True, n)
-        it = int(state.nr_iters)
-        if (it - 1) % cfg.init_gaussian_update == 0:
+        n_seg, tail = _span_args(stop - cur, cfg.rebin_every)
+        state, aux = mapping_span(state, intr, cfg, True, n_seg, tail)
+        cur = stop
+        if (cur - 1) % cfg.init_gaussian_update == 0:
             state, _ = densify_event(state, cfg, init_phase=True)
-        if it == cfg.init_gaussian_reset:
+        if cur == cfg.init_gaussian_reset:
             state = reset_opacity_event(state)
     return state, visibility_pass(state, intr, cfg)
 
@@ -667,10 +721,9 @@ def run_optimize_map(
     """The iters_per_kf mapping loop with its cadences
     (slam_mapper.py:244-496), run in jitted chunks between cadence events.
     Returns (state, last visibility)."""
-    start = int(state.nr_iters)
-    end = start + iters
-    while int(state.nr_iters) < end:
-        cur = int(state.nr_iters)
+    cur = int(state.nr_iters)
+    end = cur + iters
+    while cur < end:
         stop = min(
             _next_event(cur, [
                 (cfg.gaussian_update_every, cfg.gaussian_update_offset),
@@ -678,9 +731,9 @@ def run_optimize_map(
             ]),
             end,
         )
-        n = cfg.rebin_every if stop - cur >= cfg.rebin_every else 1
-        state, aux = mapping_chunk(state, intr, cfg, False, n)
-        it = int(state.nr_iters)
+        n_seg, tail = _span_args(stop - cur, cfg.rebin_every)
+        state, aux = mapping_span(state, intr, cfg, False, n_seg, tail)
+        cur = it = stop
         overflow = int(aux.overflow)
         if overflow > 1000:
             from ..utils.logging import Log

@@ -80,14 +80,23 @@ class _FramePrefetcher:
             return None
 
 
-def const_velocity_init(prev: tuple, prev2: tuple) -> tuple:
+def const_velocity_init(prev: tuple, prev2: tuple, base: tuple | None = None
+                        ) -> tuple:
     """SE(3) constant-velocity extrapolation on w2c (R, t) numpy pairs:
-    T_init = (T_prev T_prev2^-1) T_prev (TrackerConfig.const_velocity)."""
+    T_init = (T_prev T_prev2^-1) T_base (TrackerConfig.const_velocity).
+
+    The velocity (T_prev T_prev2^-1) must come from the tracker's RAW
+    per-frame poses: mapper pose refinement overwrites keyframe entries in
+    est_poses, so a velocity computed from a just-refined prev and an
+    unrefined prev2 double-counts the BA correction and spikes the init
+    (ADVICE r2). `base` is the best current estimate of the previous pose
+    (refined when available); defaults to prev."""
     prev_R, prev_t = prev
     R2, t2 = prev2
     R_rel = prev_R @ R2.T
     t_rel = prev_t - R_rel @ t2
-    return R_rel @ prev_R, R_rel @ prev_t + t_rel
+    base_R, base_t = base if base is not None else prev
+    return R_rel @ base_R, R_rel @ base_t + t_rel
 
 
 class SLAM:
@@ -109,6 +118,12 @@ class SLAM:
         self.scfg = system_config or build_system_config(config)
 
         self.est_poses: dict[int, tuple] = {}    # idx -> (R, t) numpy w2c
+        # Raw tracker outputs, never overwritten by mapper refinement —
+        # the const-velocity extrapolation source (see const_velocity_init).
+        self._raw_poses: dict[int, tuple] = {}
+        # Per-frame tracked exposure affine (device scalars), kept past
+        # frame GC for the refinement loss (slam_mapper.py:507-539 parity).
+        self.exposures: dict[int, tuple] = {}
         self.gt_poses: dict[int, tuple] = {}
         self.frames: dict[int, Frame] = {}       # window + recent frames
         self.vis_dict: dict[int, jnp.ndarray] = {}
@@ -371,14 +386,21 @@ class SLAM:
         self.kf_history.add(0)
         self.vis_dict[0] = vis[0]
         self._record_pose(0, frame.R, frame.t)
+        self._raw_poses[0] = self.est_poses[0]
+        self.exposures[0] = (frame.exposure_a, frame.exposure_b)
 
     def track(self, idx: int, frame: Frame) -> tuple[Frame, object]:
         """Track one frame against the current map (slam_tracker.py:83-193)."""
         prev_R, prev_t = self.est_poses[idx - 1]
         init_R, init_t = prev_R, prev_t
-        if self.tcfg.const_velocity and (idx - 2) in self.est_poses:
+        if (
+            self.tcfg.const_velocity
+            and (idx - 1) in self._raw_poses
+            and (idx - 2) in self._raw_poses
+        ):
             init_R, init_t = const_velocity_init(
-                (prev_R, prev_t), self.est_poses[idx - 2]
+                self._raw_poses[idx - 1], self._raw_poses[idx - 2],
+                base=(prev_R, prev_t),
             )
         frame = frame._replace(
             R=jnp.asarray(init_R, jnp.float32), t=jnp.asarray(init_t, jnp.float32)
@@ -390,15 +412,25 @@ class SLAM:
         frame = frame._replace(
             R=res.R, t=res.t, exposure_a=res.exposure_a, exposure_b=res.exposure_b
         )
-        self._record_pose(idx, res.R, res.t)
-        self.median_depth = float(res.median_depth)
-        self.metrics["tracking_iters"].append(int(res.n_iters))
+        # ONE host readback for all per-frame bookkeeping (each scalar
+        # float()/int() is a separate tunnel roundtrip on the axon backend).
+        from .tracker import unpack_host_stats
+
+        hs = unpack_host_stats(res.host_stats)
+        self._record_pose(idx, hs["R"], hs["t"])
+        # Raw (pre-refinement) pose for the const-velocity source; only the
+        # last two frames are ever read.
+        self._raw_poses[idx] = self.est_poses[idx]
+        self._raw_poses.pop(idx - 2, None)
+        self.exposures[idx] = (res.exposure_a, res.exposure_b)
+        self.median_depth = hs["median_depth"]
+        self.metrics["tracking_iters"].append(hs["n_iters"])
         # Binning-capacity telemetry (VERDICT r1 #6: a scene past capacity
         # must degrade loudly, not silently). The decomposition picks the
         # right knob: only slab truncation (parts[3]) is fixable by the
         # entry-capacity bump backstop.
-        overflow = int(res.overflow)
-        parts = [int(x) for x in res.overflow_parts]
+        overflow = hs["overflow"]
+        parts = hs["overflow_parts"]
         self.metrics["overflow"].append(overflow)
         if overflow > 100:
             advice = []
@@ -474,6 +506,9 @@ class SLAM:
         for slot, i in enumerate(kf_list):
             self.frames[i] = out_frames[slot]
             self._record_pose(i, out_frames[slot].R, out_frames[slot].t)
+            self.exposures[i] = (
+                out_frames[slot].exposure_a, out_frames[slot].exposure_b
+            )
             self.vis_dict[i] = vis[slot]
 
     def handle_keyframe(self, idx: int, frame: Frame, kf_list=None):
@@ -598,15 +633,24 @@ class SLAM:
 
         iters = iters if iters is not None else self.mcfg.refine_iters
         rng = _random.Random(self.scfg.seed)
-        kf_idxs = sorted(self.est_poses.keys())
+        # Reference parity (slam_mapper.py:507-517): refine over random
+        # KEYFRAMES (viewpoints_dict holds only keyframes), not all tracked
+        # frames — non-keyframe poses were never refined by the mapper and
+        # feeding them here bakes their tracking error into the map colors.
+        kf_idxs = sorted(self.kf_history)
 
         def fetch(idx):
             if idx in self.frames:
                 return self.frames[idx]
             frame = self._load_frame(idx)
             R, t = self.est_poses[idx]
+            ea, eb = self.exposures.get(
+                idx, (frame.exposure_a, frame.exposure_b)
+            )
             return frame._replace(
-                R=jnp.asarray(R, jnp.float32), t=jnp.asarray(t, jnp.float32)
+                R=jnp.asarray(R, jnp.float32), t=jnp.asarray(t, jnp.float32),
+                exposure_a=jnp.asarray(ea, jnp.float32),
+                exposure_b=jnp.asarray(eb, jnp.float32),
             )
 
         # Batched chunks amortize per-call dispatch (see mapping_chunk);

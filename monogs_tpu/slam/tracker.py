@@ -84,6 +84,30 @@ class TrackResult(NamedTuple):
     render_opacity: jnp.ndarray  # (H,W)
     overflow: jnp.ndarray        # () int32 binning entries dropped (final render)
     overflow_parts: jnp.ndarray  # (4,) int32 decomposition (binning.TileBins)
+    # Everything the host reads after a tracked frame, packed into ONE f32
+    # buffer: each scalar int()/float() readback is a separate axon-tunnel
+    # roundtrip; the per-frame bookkeeping read ~8 of them. Layout:
+    # [R.ravel()(9), t(3), exposure_a, exposure_b, n_iters, converged,
+    #  median_depth, overflow, overflow_parts(4)] — see unpack_host_stats.
+    host_stats: jnp.ndarray      # (22,) f32
+
+
+def unpack_host_stats(stats) -> dict:
+    """Decode TrackResult.host_stats (a single (22,) host read)."""
+    import numpy as np
+
+    s = np.asarray(stats)
+    return {
+        "R": s[0:9].reshape(3, 3),
+        "t": s[9:12],
+        "exposure_a": float(s[12]),
+        "exposure_b": float(s[13]),
+        "n_iters": int(s[14]),
+        "converged": bool(s[15]),
+        "median_depth": float(s[16]),
+        "overflow": int(s[17]),
+        "overflow_parts": [int(x) for x in s[18:22]],
+    }
 
 
 class _Adam4(NamedTuple):
@@ -243,6 +267,15 @@ def track_frame(
     )
     median_depth = get_median_depth(out.depth, out.opacity > 0.0)
 
+    host_stats = jnp.concatenate([
+        R.reshape(-1), t, ea[None], eb[None],
+        n_iters.astype(jnp.float32)[None],
+        converged.astype(jnp.float32)[None],
+        median_depth[None],
+        out.overflow.astype(jnp.float32)[None],
+        out.overflow_parts.astype(jnp.float32),
+    ])
+
     return TrackResult(
         R=R, t=t, exposure_a=ea, exposure_b=eb,
         n_iters=n_iters, converged=converged,
@@ -251,4 +284,5 @@ def track_frame(
         render_depth=out.depth, render_opacity=out.opacity,
         overflow=out.overflow,
         overflow_parts=out.overflow_parts,
+        host_stats=host_stats,
     )

@@ -55,4 +55,10 @@ def main(run_dir):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        print(__doc__.strip(), file=sys.stderr)
+        sys.exit(2)
+    if not os.path.isdir(sys.argv[1]):
+        print(f"error: run_dir not found: {sys.argv[1]}", file=sys.stderr)
+        sys.exit(2)
     main(sys.argv[1])

@@ -22,6 +22,11 @@ jax.config.update("jax_platforms", "cpu")
 # Tests compare against numpy float64-free references; keep matmuls exact.
 jax.config.update("jax_default_matmul_precision", "highest")
 
-from monogs_tpu.utils.cache import enable_compilation_cache  # noqa: E402
-
-enable_compilation_cache()
+# NOTE: the persistent compilation cache is deliberately NOT enabled here.
+# CPU compiles are fast, and long multi-module runs with the cache on
+# crashed natively inside compilation_cache get/put (round-2 VERDICT
+# weak #3: 3/3 full-suite runs segfaulted/aborted; every module green in
+# isolation). The cache exists for the slow axon remote-compile path and
+# is opt-in via MONOGS_JAX_CACHE there; MONOGS_DISABLE_JAX_CACHE=1 is the
+# global kill-switch (monogs_tpu/utils/cache.py).
+os.environ.setdefault("MONOGS_DISABLE_JAX_CACHE", "1")

@@ -120,27 +120,50 @@ def test_quat_to_rotmat_matches_so3_exp():
     )
 
 
-def test_pose_composition_stays_on_so3_under_bf16_matmul_default():
-    """The retraction chain must hold SO(3) even when the platform default
-    lowers f32 matmuls to bf16 (TPU MXU behavior): lie.py pins HIGHEST
-    precision on its 3x3 products. Measured failure without the pin: det(R)
-    walked to 1.54 over ~4k composes on TPU v5e and tracking collapsed."""
-    import jax
-    import jax.numpy as jnp
+def test_pose_chain_precision_pin_is_present():
+    """Platform-independent guard for the round-2 TPU numerics fix: every
+    pose-chain matmul in ops/lie.py must pin Precision.HIGHEST. On the TPU
+    MXU a default-precision f32 matmul runs as bf16 and det(R_est)
+    random-walked to 1.54 over ~4k composes (tracking collapsed). XLA:CPU
+    ignores the precision config entirely, so a behavioral test under
+    jax.default_matmul_precision('bfloat16') is vacuous here (ADVICE r2) —
+    assert the pin itself instead."""
+    assert lie._mm.keywords["precision"] == jax.lax.Precision.HIGHEST
 
-    from monogs_tpu.ops import lie
 
+def _chain_det_drift(mm, n=300):
+    """|det(R)-1| after n random retractions composed with matmul `mm`."""
     R = jnp.eye(3)
     t = jnp.zeros(3)
     key = jax.random.PRNGKey(1)
-    with jax.default_matmul_precision("bfloat16"):
-        step = jax.jit(lie.apply_pose_delta)
-        for _ in range(300):
-            key, k1, k2 = jax.random.split(key, 3)
-            R, t = step(
-                R, t,
-                1e-3 * jax.random.normal(k1, (3,)),
-                3e-3 * jax.random.normal(k2, (3,)),
-            )
-    det = float(jnp.linalg.det(R))
-    assert abs(det - 1.0) < 1e-4, det
+
+    def step(R, t, rho, theta):
+        dT = lie.se3_exp(jnp.concatenate([rho, theta]))
+        return mm(dT[:3, :3], R), mm(dT[:3, :3], t[:, None])[:, 0] + dT[:3, 3]
+
+    step = jax.jit(step)
+    for _ in range(n):
+        key, k1, k2 = jax.random.split(key, 3)
+        R, t = step(
+            R, t,
+            1e-3 * jax.random.normal(k1, (3,)),
+            3e-3 * jax.random.normal(k2, (3,)),
+        )
+    return abs(float(jnp.linalg.det(R)) - 1.0)
+
+
+def test_pose_composition_bf16_drift_reproduces_and_f32_holds():
+    """Reproduce the TPU failure mode on any platform by casting the
+    compose-chain matmul operands to bf16 explicitly (what the MXU does at
+    default precision), and show the pinned-f32 chain holds SO(3). This
+    exercises the failure the Precision.HIGHEST pin exists to prevent."""
+
+    def bf16_mm(a, b):
+        return jnp.matmul(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+        ).astype(jnp.float32)
+
+    drift_bf16 = _chain_det_drift(bf16_mm)
+    drift_f32 = _chain_det_drift(lie._mm)
+    assert drift_f32 < 1e-4, drift_f32
+    assert drift_bf16 > 10 * max(drift_f32, 1e-6), (drift_bf16, drift_f32)

@@ -96,6 +96,88 @@ def test_sharded_step_matches_single_device(mesh8):
             assert "win" in str(sh.adam.mu["xyz"].sharding.spec)
 
 
+def test_overlap_shardmap_step_matches_single_device(mesh8):
+    """The explicit-overlap shard_map iteration (parallel/overlap.py:
+    leaf-wise reduce-scatter of Gaussian grads -> ZeRO-sharded Adam ->
+    all-gather) must match the unsharded mapping_step numerically
+    (VERDICT r2 #6)."""
+    from monogs_tpu.models import gaussian_map as gm
+    from monogs_tpu.models.optim import init_adam
+    from monogs_tpu.ops.graphics import Intrinsics
+    from monogs_tpu.parallel.mesh import shard_mapper_state
+    from monogs_tpu.parallel.overlap import make_overlap_step
+    from monogs_tpu.slam.camera import make_frame, window_from_list
+    from monogs_tpu.slam.mapper import (
+        MapperConfig,
+        MapperState,
+        extend_event,
+        init_pose_adam,
+        mapping_step,
+    )
+
+    W, H = 64, 48
+    intr = Intrinsics(fx=40.0, fy=40.0, cx=W / 2, cy=H / 2, width=W, height=H)
+    cfg = MapperConfig(tile_size=16, tile_capacity=128, max_dup=8,
+                       window_size=8, backend="pallas",
+                       isotropic_loss_weight=0.1)
+
+    frames = []
+    for i in range(8):
+        key = jax.random.PRNGKey(i)
+        rgb = jax.random.uniform(key, (H, W, 3))
+        depth = jnp.full((H, W), 2.0) + 0.1 * i
+        pose = jnp.eye(4).at[0, 3].set(0.02 * i)
+        frames.append(make_frame(i, rgb, depth, pose))
+    window = window_from_list(frames, 8)
+
+    gmap = gm.init_map(512, 1)
+    state = MapperState(
+        gmap=gmap, adam=init_adam(gmap.params), window=window,
+        pose_adam=init_pose_adam(8),
+        nr_iters=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(0),
+    )
+    state, _ = extend_event(state, frames[0], 0, intr, cfg, init=True)
+
+    s1, aux1 = mapping_step(state, intr, cfg, init=False)
+    ostep = make_overlap_step(mesh8, intr, cfg)
+    s2, aux2 = ostep(shard_mapper_state(state, mesh8))
+
+    np.testing.assert_allclose(float(aux1.loss), float(aux2.loss), rtol=1e-5)
+    # Gradient-level equivalence on every leaf via the first moments
+    # (mu = 0.1 * grad after one step): immune to the Adam eps=1e-15
+    # amplification, where a coordinate whose gradient is exactly 0 in one
+    # path and ~1e-14 in the other (different float accumulation order)
+    # takes a full +-lr step in only one of them. Parameter-level check on
+    # xyz, whose gradients are never degenerate-zero on active rows.
+    for k in s1.adam.mu:
+        mu1 = np.asarray(s1.adam.mu[k])
+        mu2 = np.asarray(s2.adam.mu[k])  # capacity-sharded, same global shape
+        np.testing.assert_allclose(mu1, mu2, atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(s1.gmap.params["xyz"]), np.asarray(s2.gmap.params["xyz"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.gmap.xyz_grad_accum),
+        np.asarray(s2.gmap.xyz_grad_accum), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.gmap.max_radii2d), np.asarray(s2.gmap.max_radii2d),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.window.frames.t), np.asarray(s2.window.frames.t),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.window.frames.exposure_a),
+        np.asarray(s2.window.frames.exposure_a), atol=1e-6,
+    )
+    # Adam moments really are capacity-sharded (ZeRO-2) after the step.
+    assert "win" in str(s2.adam.mu["xyz"].sharding.spec)
+    assert int(aux1.overflow) == int(aux2.overflow)
+
+
 def test_sharded_slam_e2e(mesh8):
     """Full SLAM with the mapping window sharded over the 8-device mesh
     (BASELINE config 5 capability on the CPU test rig): must track and map
