@@ -214,6 +214,34 @@ class SyntheticDataset(BaseDataset):
         self.use_depth = bool(syn.get("use_depth", True))  # False = monocular
         self._tile_capacity = int(syn.get("render_tile_capacity", 256))
         self._cache: dict[int, dict] = {}
+        # Persistent on-disk frame cache: GT frames are pure functions of
+        # (scene, trajectory, calibration), and rendering one 640x480 frame
+        # through the axon tunnel costs ~4.4 s (dispatch + image readback)
+        # while contending with the SLAM process for the single TPU grant —
+        # measured 176 s of a 40-frame run's 864 s wall. Frames are keyed by
+        # the generating parameters (idx-independent of n_frames, so short
+        # runs warm long ones) and invalidated by SCHEMA_V.
+        # MONOGS_SYNTH_CACHE=0 disables.
+        import hashlib
+        import os
+
+        SCHEMA_V = 1
+        c = config["Dataset"]["Calibration"]
+        key_src = repr((
+            SCHEMA_V, syn.get("scene", "wall"), self.n_gaussians, self.seed,
+            self.motion, self._tile_capacity,
+            c["width"], c["height"], c["fx"], c["fy"], c["cx"], c["cy"],
+        ))
+        self._disk_cache = None
+        if os.environ.get("MONOGS_SYNTH_CACHE", "1") == "1":
+            root = os.environ.get(
+                "MONOGS_SYNTH_CACHE_DIR",
+                os.path.expanduser("~/.cache/monogs_synth"),
+            )
+            self._disk_cache = os.path.join(
+                root, hashlib.sha1(key_src.encode()).hexdigest()[:16]
+            )
+            os.makedirs(self._disk_cache, exist_ok=True)
 
     def __len__(self):
         return self.n_frames
@@ -249,9 +277,30 @@ class SyntheticDataset(BaseDataset):
             "segmentation": np.zeros(depth.shape, np.int32),
         }
 
+    def _load_or_render(self, idx: int) -> dict:
+        import os
+
+        if self._disk_cache is not None:
+            path = os.path.join(self._disk_cache, f"frame_{idx:05d}.npz")
+            if os.path.exists(path):
+                z = np.load(path)
+                return {
+                    "rgb": z["rgb"], "depth": z["depth"],
+                    "pose": self.poses[idx].astype(np.float32),
+                    "mask": z["mask"],
+                    "segmentation": np.zeros(z["depth"].shape, np.int32),
+                }
+            d = self._render_frame(idx)
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:  # handle: savez must not append .npz
+                np.savez(f, rgb=d["rgb"], depth=d["depth"], mask=d["mask"])
+            os.replace(tmp, path)
+            return d
+        return self._render_frame(idx)
+
     def __getitem__(self, idx: int) -> dict:
         if idx not in self._cache:
-            self._cache[idx] = self._render_frame(idx)
+            self._cache[idx] = self._load_or_render(idx)
         d = self._cache[idx]
         if not self.use_depth:
             d = dict(d, depth=None)

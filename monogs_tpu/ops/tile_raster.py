@@ -72,7 +72,10 @@ ALPHA_EPS = 1.0 / 255.0
 ALPHA_MAX = 0.99
 TOUCH_T_MIN = 1e-4          # transmittance floor for the n_touched signal
 CHUNK = _BCHUNK             # slots processed per inner step (lane width)
-LOG_SKIP = -16.0            # skip chunks once max log-transmittance < this
+# Skip chunks once max log-transmittance < this. Env override for roofline
+# experiments (MONOGS_LOG_SKIP=-1e30 disables skipping -> every padded
+# chunk is processed, the all-pairs cost).
+LOG_SKIP = float(os.environ.get("MONOGS_LOG_SKIP", "-16.0"))
 FEAT_ROWS = 16              # sublane-padded feature rows (10 used)
 
 

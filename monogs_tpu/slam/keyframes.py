@@ -67,6 +67,19 @@ def overlap_ratio_min(vis_a, vis_b) -> float:
     return inter / max(denom, 1)
 
 
+import jax
+
+
+@jax.jit
+def _overlap_stats(cur, stack):
+    """[intersections (n,), member counts (n,), |cur| (1,)] as one buffer."""
+    return jnp.concatenate([
+        jnp.sum(stack & cur[None, :], axis=1),
+        jnp.sum(stack, axis=1),
+        jnp.sum(cur)[None],
+    ])
+
+
 def should_add_as_keyframe(
     cur_pose, last_kf_pose, cur_vis, last_kf_vis, median_depth: float,
     cfg: KeyframeConfig,
@@ -96,11 +109,36 @@ def add_to_window(
     kf_list = [cur_frame_idx] + list(kf_list)
     removed = None
 
+    # All Szymkiewicz-Simpson ratios in ONE device program + ONE readback:
+    # the per-member loop was 2-3 tunnel roundtrips (~30 ms each) per
+    # window keyframe, ~0.6 s per keyframe event on the axon backend. The
+    # member list is padded to window_size so every event reuses ONE
+    # compiled executable (eager/jit shapes compile remotely, minutes each,
+    # and the window length changes every early event).
+    tail = kf_list[N:]
+    ratios = {}
+    if tail:
+        vs = [cur_vis] + [vis_dict[k] for k in tail]
+        cap = max(v.shape[0] for v in vs)
+        vs = [jnp.pad(v, (0, cap - v.shape[0])) if v.shape[0] < cap else v
+              for v in vs]
+        n_pad = max(cfg.window_size, len(tail))
+        stack = jnp.stack(
+            vs[1:] + [vs[0]] * (n_pad - len(tail))  # self-overlap padding
+        )
+        stats = np.asarray(_overlap_stats(vs[0], stack))
+        inter, counts, ccur = (
+            stats[:n_pad], stats[n_pad:2 * n_pad], int(stats[2 * n_pad])
+        )
+        ratios = {
+            k: float(inter[i]) / max(min(int(counts[i]), ccur), 1)
+            for i, k in enumerate(tail)
+        }
+
     to_remove = []
-    for kf_idx in kf_list[N:]:
-        ratio = overlap_ratio_min(cur_vis, vis_dict[kf_idx])
+    for kf_idx in tail:
         cutoff = cfg.kf_cutoff if is_window_full else 0.4
-        if ratio <= cutoff:
+        if ratios[kf_idx] <= cutoff:
             to_remove.append(kf_idx)
     if to_remove:
         removed = to_remove[-1]

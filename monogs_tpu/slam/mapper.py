@@ -481,6 +481,31 @@ def mapping_span(
     return _mut_to_state(mut, state), aux
 
 
+@jax.jit
+def window_host_pack(state: MapperState) -> jnp.ndarray:
+    """Everything the host bookkeeping reads after a keyframe event, packed
+    into ONE f32 buffer (each per-slot slice/readback is a separate
+    ~30 ms axon-tunnel roundtrip): [R.ravel (Wc*9), t.ravel (Wc*3),
+    exposure_a (Wc), exposure_b (Wc)] — see unpack_window_host."""
+    f = state.window.frames
+    return jnp.concatenate([
+        f.R.reshape(-1), f.t.reshape(-1), f.exposure_a, f.exposure_b
+    ])
+
+
+def unpack_window_host(pack, Wc: int) -> dict:
+    """Decode window_host_pack (a single host read)."""
+    import numpy as np
+
+    s = np.asarray(pack)
+    return {
+        "R": s[: Wc * 9].reshape(Wc, 3, 3),
+        "t": s[Wc * 9: Wc * 12].reshape(Wc, 3),
+        "exposure_a": s[Wc * 12: Wc * 13],
+        "exposure_b": s[Wc * 13: Wc * 14],
+    }
+
+
 # ---------------------------------------------------------------------------
 # Cadenced topology events (jitted, called by the host driver).
 # ---------------------------------------------------------------------------

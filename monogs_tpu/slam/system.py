@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.profiling import section
+
 from ..models import gaussian_map as gm
 from ..utils.config import (
     SystemConfig,
@@ -32,7 +34,13 @@ from ..utils.eval import eval_rendering, eval_traj_ate
 from ..utils.logging import Log
 from ..utils.ply import save_ply
 from . import keyframes as kf
-from .camera import Frame, make_frame, window_from_list, window_get
+from .camera import (
+    Frame,
+    make_frame,
+    window_from_list,
+    window_get,
+    window_update,
+)
 from .mapper import (
     MapperState,
     refine_chunk,
@@ -129,6 +137,11 @@ class SLAM:
         self.vis_dict: dict[int, jnp.ndarray] = {}
         self.kf_list: list[int] = []
         self.kf_history: set[int] = set()  # every index ever made a keyframe
+        # Keyframe index per window slot of the CURRENT state.window (mapper
+        # ownership, like state): lets keyframe events assemble the next
+        # window on-device by permutation (camera.window_update). None =>
+        # unknown (fresh resume), fall back to a full host rebuild.
+        self._window_slots: list[int] | None = None
         self.is_window_full = False
         self.first_time_pruned = False
         self.median_depth = 1.0
@@ -162,7 +175,12 @@ class SLAM:
             self.mesh = make_mesh(self.scfg.mesh_devices)
 
     def _window_capacity(self) -> int:
-        cap = self.kcfg.window_size + 2
+        # Exactly window_size: add_to_window always evicts back down to
+        # window_size before the mapper sees the list, and every padding
+        # slot costs a full per-keyframe render+backward in the mapping
+        # iteration (the zero-pose padding frames still bin/composite the
+        # whole map) — the former +2 slack was ~25% mapping overwork.
+        cap = self.kcfg.window_size
         if self.mesh is not None:
             n = self.mesh.devices.size
             cap = -(-cap // n) * n  # round up to a device multiple
@@ -222,7 +240,14 @@ class SLAM:
             segmentation=None if d.get("segmentation") is None
             else jnp.asarray(d["segmentation"]),
         )
-        self.gt_poses[idx] = (np.asarray(frame.R_gt), np.asarray(frame.t_gt))
+        # GT pose bookkeeping from the HOST copy: reading frame.R_gt back
+        # would block the prefetch thread until every queued device op
+        # (e.g. a 10 s mapping span) completes — measured 7.4 s/frame of
+        # load stall on the axon tunnel.
+        pose = np.asarray(d["pose"])
+        self.gt_poses[idx] = (
+            pose[:3, :3].astype(np.float32), pose[:3, 3].astype(np.float32)
+        )
         return frame
 
     def _record_pose(self, idx: int, R, t):
@@ -383,6 +408,7 @@ class SLAM:
         self.state, vis = run_initialize_map(self.state, self.intr, self.mcfg)
         self.frames[0] = frame
         self.kf_list = [0]
+        self._window_slots = [0]
         self.kf_history.add(0)
         self.vis_dict[0] = vis[0]
         self._record_pose(0, frame.R, frame.t)
@@ -405,10 +431,11 @@ class SLAM:
         frame = frame._replace(
             R=jnp.asarray(init_R, jnp.float32), t=jnp.asarray(init_t, jnp.float32)
         )
-        res = track_frame(
-            self.state.gmap.params, self.state.gmap.active, frame, self.intr,
-            self.tcfg,
-        )
+        with section("track.dispatch"):
+            res = track_frame(
+                self.state.gmap.params, self.state.gmap.active, frame,
+                self.intr, self.tcfg,
+            )
         frame = frame._replace(
             R=res.R, t=res.t, exposure_a=res.exposure_a, exposure_b=res.exposure_b
         )
@@ -416,7 +443,8 @@ class SLAM:
         # float()/int() is a separate tunnel roundtrip on the axon backend).
         from .tracker import unpack_host_stats
 
-        hs = unpack_host_stats(res.host_stats)
+        with section("track.readback"):
+            hs = unpack_host_stats(res.host_stats)
         self._record_pose(idx, hs["R"], hs["t"])
         # Raw (pre-refinement) pose for the const-velocity source; only the
         # last two frames are ever read.
@@ -450,39 +478,71 @@ class SLAM:
         self._bump_entry_capacity(parts[3])
         return frame, res
 
-    def _mapper_keyframe(self, idx: int, window_frames: list, kf_list: list):
+    def _mapper_keyframe(self, idx: int, frame: Frame, kf_list: list,
+                         fetch_frame=None):
         """Mapper-owned keyframe work (slam_mapper.py:639-722): extend + window
         optimize + prune. Touches ONLY mapper-owned state (`self.state`,
-        `self.first_time_pruned`) — in async mode this runs on the mapper
-        thread, so it must not read or write the tracker-owned host dicts
-        (frames/est_poses/vis_dict/kf_list); all inputs arrive by value and
-        all outputs are returned (the reference's queue-message discipline,
-        slam.py:102-109, as a thread-safe call contract).
+        `self._window_slots`, `self.first_time_pruned`) — in async mode this
+        runs on the mapper thread, so it must not read or write the
+        tracker-owned host dicts (frames/est_poses/vis_dict/kf_list); the
+        new keyframe arrives by value and all outputs are returned (the
+        reference's queue-message discipline, slam.py:102-109, as a
+        thread-safe call contract). `fetch_frame(i) -> Frame` is only
+        consulted on the cold fallback (unknown window slots after resume).
 
-        Returns (out_frames per slot, vis per slot)."""
-        frame = window_frames[0]
+        Returns (host_pack (Wc*14,) — see mapper.unpack_window_host,
+        vis (Wc, C))."""
         self._maybe_grow()  # before seeding, so no candidates are dropped
-        self.state, (n_added, n_dropped) = extend_event(
-            self.state, frame, idx, self.intr, self.mcfg, init=False
-        )
-        if int(n_dropped):
-            Log(f"Capacity drop: {int(n_dropped)} seeds", tag="Mapper")
+        with section("kf.extend"):
+            self.state, (n_added, n_dropped) = extend_event(
+                self.state, frame, idx, self.intr, self.mcfg, init=False
+            )
+            # Deferred telemetry: reading n_dropped here would block on the
+            # extend render; the scalars are drained at the next ATE eval /
+            # end of run (metrics["seed_drops"]).
+            self.metrics.setdefault("seed_drops", []).append(
+                (idx, n_dropped)
+            )
 
-        # Stack the window (newest first, matching kf_list order).
-        window = window_from_list(window_frames, self._window_capacity())
-        self.state = self.state._replace(
-            window=window,
-            # Fresh keyframe optimizers per event (slam_mapper.py:717).
-            pose_adam=init_pose_adam(window.capacity),
-        )
-        self._place_state()
+        # Assemble the window (newest first, matching kf_list order) by
+        # on-device permutation of the previous window + the new frame.
+        with section("kf.window_build"):
+            cap = self._window_capacity()
+            slots = self._window_slots
+            pos = ({k: s for s, k in enumerate(slots)}
+                   if slots is not None else None)
+            if pos is not None and all(
+                k == idx or k in pos for k in kf_list
+            ) and len(kf_list) <= cap:
+                perm = np.zeros(cap, np.int32)
+                for s, k in enumerate(kf_list):
+                    perm[s] = pos.get(k, 0)
+                valid = np.zeros(cap, bool)
+                valid[: len(kf_list)] = True
+                window = window_update(
+                    self.state.window, frame,
+                    jnp.asarray(perm), jnp.asarray(valid),
+                )
+            else:  # cold fallback (resume without slot metadata)
+                window_frames = [frame if i == idx else fetch_frame(i)
+                                 for i in kf_list]
+                window = window_from_list(window_frames, cap)
+            self.state = self.state._replace(
+                window=window,
+                # Fresh keyframe optimizers per event (slam_mapper.py:717).
+                pose_adam=init_pose_adam(cap),
+            )
+            self._window_slots = list(kf_list)
+            self._place_state()
 
-        self.state, stats = run_optimize_map(
-            self.state, self.intr, self.mcfg, self.mcfg.iters_per_kf
-        )
+        with section("kf.optimize"):
+            self.state, stats = run_optimize_map(
+                self.state, self.intr, self.mcfg, self.mcfg.iters_per_kf
+            )
 
         # prune=True pass (slam_mapper.py:720, 408-451).
-        vis = visibility_pass(self.state, self.intr, self.mcfg)
+        with section("kf.visibility"):
+            vis = visibility_pass(self.state, self.intr, self.mcfg)
         if len(kf_list) == self.kcfg.window_size:
             if not self.first_time_pruned:
                 floor = jnp.asarray(-(2 ** 31), jnp.int32)
@@ -491,44 +551,67 @@ class SLAM:
                 floor = jnp.asarray(
                     sorted(kf_list, reverse=True)[2], jnp.int32
                 )
-            self.state, _ = covisibility_prune(self.state, vis, floor, self.mcfg)
-            vis = visibility_pass(self.state, self.intr, self.mcfg)
+            with section("kf.prune"):
+                self.state, _ = covisibility_prune(
+                    self.state, vis, floor, self.mcfg
+                )
+                vis = visibility_pass(self.state, self.intr, self.mcfg)
 
-        out_frames = [window_get(self.state.window, s)
-                      for s in range(len(kf_list))]
-        return out_frames, vis
+        from .mapper import window_host_pack
 
-    def _apply_mapper_result(self, kf_list: list, out_frames: list, vis):
+        return window_host_pack(self.state), vis
+
+    def _apply_mapper_result(self, kf_list: list, host_pack, vis):
         """Tracker-side application of a mapper result: write optimized
         window poses/exposures + visibility back into the host bookkeeping
         (the push_to_frontend / sync_from_backend pair,
-        slam_mapper.py:550-564, slam_tracker.py:302-316)."""
-        for slot, i in enumerate(kf_list):
-            self.frames[i] = out_frames[slot]
-            self._record_pose(i, out_frames[slot].R, out_frames[slot].t)
-            self.exposures[i] = (
-                out_frames[slot].exposure_a, out_frames[slot].exposure_b
-            )
-            self.vis_dict[i] = vis[slot]
+        slam_mapper.py:550-564, slam_tracker.py:302-316). host_pack is ONE
+        packed device buffer (mapper.window_host_pack) — a single tunnel
+        readback for the whole window."""
+        from .mapper import unpack_window_host
+
+        with section("kf.apply_result"):
+            w = unpack_window_host(host_pack, self._window_capacity())
+            for slot, i in enumerate(kf_list):
+                self._record_pose(i, w["R"][slot], w["t"][slot])
+                self.exposures[i] = (
+                    float(w["exposure_a"][slot]), float(w["exposure_b"][slot])
+                )
+                self.vis_dict[i] = vis[slot]
+
+    def _fetch_frame_at_pose(self, idx: int) -> Frame:
+        """Frame idx with the current best pose/exposure estimate applied
+        (cold window rebuilds, refinement)."""
+        frame = self.frames.get(idx)
+        if frame is None:
+            frame = self._load_frame(idx)
+        R, t = self.est_poses[idx]
+        ea, eb = self.exposures.get(idx, (0.0, 0.0))
+        return frame._replace(
+            R=jnp.asarray(R, jnp.float32), t=jnp.asarray(t, jnp.float32),
+            exposure_a=jnp.asarray(ea, jnp.float32),
+            exposure_b=jnp.asarray(eb, jnp.float32),
+        )
 
     def handle_keyframe(self, idx: int, frame: Frame, kf_list=None):
         """Synchronous keyframe handling: mapper work + result application
         in one thread (the reference's *_sp single-process path)."""
         if kf_list is not None:
             self.kf_list = list(kf_list)
-        window_frames = [self.frames[i] if i != idx else frame
-                         for i in self.kf_list]
-        out_frames, vis = self._mapper_keyframe(
-            idx, window_frames, list(self.kf_list)
+        host_pack, vis = self._mapper_keyframe(
+            idx, frame, list(self.kf_list),
+            fetch_frame=self._fetch_frame_at_pose,
         )
-        self._apply_mapper_result(list(self.kf_list), out_frames, vis)
+        self._apply_mapper_result(list(self.kf_list), host_pack, vis)
 
     def process_frame(self, idx: int) -> dict:
         """One full frontend+backend cycle for frame idx."""
         t0 = time.time()
-        frame = self._load_frame(idx)
+        with section("frame.load"):
+            frame = self._load_frame(idx)
         if idx == 0:
-            self.initialize(frame)
+            with section("init"):
+                self.initialize(frame)
             self.metrics["frame_times"].append(time.time() - t0)
             return {"keyframe": True}
 
@@ -558,10 +641,11 @@ class SLAM:
         if create_kf:
             self.kf_history.add(idx)
             self.vis_dict[idx] = res.visibility
-            self.kf_list, removed = kf.add_to_window(
-                idx, res.visibility, self.kf_list, self.vis_dict,
-                self.est_poses, self.kcfg, self.is_window_full,
-            )
+            with section("kf.window_select"):
+                self.kf_list, removed = kf.add_to_window(
+                    idx, res.visibility, self.kf_list, self.vis_dict,
+                    self.est_poses, self.kcfg, self.is_window_full,
+                )
             if len(self.kf_list) == self.kcfg.window_size:
                 self.is_window_full = True
             self.handle_keyframe(idx, frame)
@@ -638,20 +722,9 @@ class SLAM:
         # frames — non-keyframe poses were never refined by the mapper and
         # feeding them here bakes their tracking error into the map colors.
         kf_idxs = sorted(self.kf_history)
-
-        def fetch(idx):
-            if idx in self.frames:
-                return self.frames[idx]
-            frame = self._load_frame(idx)
-            R, t = self.est_poses[idx]
-            ea, eb = self.exposures.get(
-                idx, (frame.exposure_a, frame.exposure_b)
-            )
-            return frame._replace(
-                R=jnp.asarray(R, jnp.float32), t=jnp.asarray(t, jnp.float32),
-                exposure_a=jnp.asarray(ea, jnp.float32),
-                exposure_b=jnp.asarray(eb, jnp.float32),
-            )
+        # Re-fetch at the refined pose + tracked exposure (mapper updates
+        # only est_poses/exposures now; cached Frames may hold stale poses).
+        fetch = self._fetch_frame_at_pose
 
         # Batched chunks amortize per-call dispatch (see mapping_chunk);
         # chunk sizes restricted to {8, 1} to bound compile variants.
@@ -720,11 +793,16 @@ class SLAM:
                 if msg is STOP:
                     return
                 try:
-                    idx, window_frames, kf_list = msg
-                    out_frames, vis = self._mapper_keyframe(
-                        idx, window_frames, kf_list
+                    idx, frame, kf_list = msg
+                    # fetch_frame is only consulted on the cold resume
+                    # fallback (unknown window slots); it reads tracker
+                    # dicts, which is safe there because the tracker blocks
+                    # on the bounded queue before mutating them further.
+                    host_pack, vis = self._mapper_keyframe(
+                        idx, frame, kf_list,
+                        fetch_frame=self._fetch_frame_at_pose,
                     )
-                    results.put((kf_list, out_frames, vis))
+                    results.put((kf_list, host_pack, vis))
                 except BaseException as e:  # surface to tracker
                     errors.append(e)
                     return
@@ -732,10 +810,10 @@ class SLAM:
         def drain_results():
             while True:
                 try:
-                    kf_list, out_frames, vis = results.get_nowait()
+                    kf_list, host_pack, vis = results.get_nowait()
                 except _queue.Empty:
                     return
-                self._apply_mapper_result(kf_list, out_frames, vis)
+                self._apply_mapper_result(kf_list, host_pack, vis)
 
         mapper_thread = threading.Thread(target=mapper_loop, daemon=True)
         mapper_thread.start()
@@ -777,9 +855,7 @@ class SLAM:
                 )
                 if len(self.kf_list) == self.kcfg.window_size:
                     self.is_window_full = True
-                window_frames = [self.frames[i] if i != idx else frame
-                                 for i in self.kf_list]
-                q.put((idx, window_frames, list(self.kf_list)),
+                q.put((idx, frame, list(self.kf_list)),
                       timeout=mapper_timeout)
                 self._maybe_checkpoint()
             self._gc_frames()
@@ -802,6 +878,12 @@ class SLAM:
         fps = n_frames / max(wall_s, 1e-9)
         self.metrics["fps"] = fps
         self.metrics["wall_s"] = wall_s
+        # Drain deferred device-scalar telemetry (kf.extend seed drops).
+        drops = [(i, int(d)) for i, d in self.metrics.get("seed_drops", [])]
+        self.metrics["seed_drops"] = drops
+        for i, d in drops:
+            if d:
+                Log(f"Capacity drop at kf {i}: {d} seeds", tag="Mapper")
         Log(f"{n_frames} frames in {wall_s:.1f}s = {fps:.2f} fps",
             tag="System")
         self.wandb.log({"fps": fps})

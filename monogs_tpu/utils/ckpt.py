@@ -118,3 +118,6 @@ def load_checkpoint(path: str, slam) -> None:
 
     for slot, idx in enumerate(slam.kf_list):
         slam.frames[idx] = window_get(slam.state.window, slot)
+    # The restored window is in kf_list slot order (it was checkpointed
+    # that way) — keyframe events can keep updating it by permutation.
+    slam._window_slots = list(slam.kf_list)

@@ -70,33 +70,50 @@ def build_state(n_live=80_000, capacity=131_072, window=8, w=640, h=480,
 
 
 def main():
-    import jax
+    """Usage: bench_mapping.py [TILE TILE_CAP ENTRY_CAP MAX_DUP MAX_DUP_GEN]
+    Defaults = the ROADMAP reference workload (tile 32, K 1024, E 210432,
+    dup 4/16). MONOGS_BLOCK_CHUNKS sweeps the kernel block size."""
+    import json
 
     from monogs_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
 
-    from monogs_tpu.slam.mapper import MapperConfig, mapping_chunk
+    import monogs_tpu.ops.binning as binning
+    from monogs_tpu.slam.mapper import MapperConfig, mapping_span
+
+    a = sys.argv[1:]
+    tile = int(a[0]) if len(a) > 0 else 32
+    kcap = int(a[1]) if len(a) > 1 else 1024
+    ecap = int(a[2]) if len(a) > 2 else 210432
+    mdup = int(a[3]) if len(a) > 3 else 4
+    mgen = int(a[4]) if len(a) > 4 else 16
 
     state, intr = build_state()
-    cfg = MapperConfig(entry_capacity=210432)
+    cfg = MapperConfig(tile_size=tile, tile_capacity=kcap,
+                       entry_capacity=ecap, max_dup=mdup, max_dup_gen=mgen)
     n_steps = cfg.rebin_every
 
     t0 = time.perf_counter()
-    state2, aux = mapping_chunk(state, intr, cfg, False, n_steps)
+    state2, aux = mapping_span(state, intr, cfg, False, 0, n_steps)
     _ = float(aux.loss)  # fence (block_until_ready returns early on axon)
-    print(f"first call (compile): {time.perf_counter() - t0:.1f}s; "
-          f"overflow={int(aux.overflow)}")
+    compile_s = time.perf_counter() - t0
 
     reps = 4
     t0 = time.perf_counter()
     st = state
     for _ in range(reps):
-        st, aux = mapping_chunk(st, intr, cfg, False, n_steps)
+        st, aux = mapping_span(st, intr, cfg, False, 0, n_steps)
         _ = float(aux.loss)
     ms = (time.perf_counter() - t0) / (reps * n_steps) * 1000.0
-    print(f"mapping iteration: {ms:.1f} ms "
-          f"(window 8, 80k live / 131072 cap, 640x480)")
+    print(json.dumps({
+        "tile": tile, "K": kcap, "entry_cap": ecap,
+        "max_dup": mdup, "max_dup_gen": mgen,
+        "block_chunks": binning.BLOCK_CHUNKS,
+        "ms_per_iter": round(ms, 1),
+        "overflow_per_iter": int(aux.overflow),
+        "compile_s": round(compile_s, 0),
+    }))
 
 
 if __name__ == "__main__":

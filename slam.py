@@ -158,6 +158,12 @@ def main():
             "map_active": int(slam.state.gmap.num_active),
             "mode": "async" if use_async else "sync",
         }
+        # Host-blocking stage decomposition (utils/profiling.section):
+        # where the wall clock went — the round-2 fps gap was 4x dispatch
+        # overhead and this is the evidence trail for closing it.
+        from monogs_tpu.utils.profiling import summary as _prof_summary
+
+        summary["stages"] = _prof_summary()
         with open(os.path.join(save_dir, "metrics.json"), "w") as f:
             json.dump(summary, f, indent=1)
     slam.wandb.finish()
