@@ -35,6 +35,7 @@ button,select{background:#333;color:#ddd;border:1px solid #555;margin:2px}
   <select id="shader"><option>rgb</option><option>depth</option>
   <option>segmentation</option><option>time</option>
   <option>ellipsoids</option></select>
+  <label><input type="checkbox" id="frusta" checked>frusta</label>
   <select id="kf"><option value="">live cam</option></select>
   <button id="pause">pause</button>
   <button id="follow">follow cam</button>
@@ -47,7 +48,8 @@ let yaw=0,pitch=0,dist=0,panx=0,pany=0,follow=true,paused=false,busy=false;
 const img=document.getElementById('view');
 function view_q(){
   const kf=document.getElementById('kf').value;
-  return `yaw=${yaw}&pitch=${pitch}&dist=${dist}&panx=${panx}&pany=${pany}&follow=${follow?1:0}&shader=${document.getElementById('shader').value}`+(kf?`&kf=${kf}`:'');
+  const fr=document.getElementById('frusta').checked?1:0;
+  return `yaw=${yaw}&pitch=${pitch}&dist=${dist}&panx=${panx}&pany=${pany}&follow=${follow?1:0}&frusta=${fr}&shader=${document.getElementById('shader').value}`+(kf?`&kf=${kf}`:'');
 }
 function refresh(){ if(busy) return; busy=true;
   fetch('/render?'+view_q()).then(r=>r.blob()).then(b=>{img.src=URL.createObjectURL(b);busy=false;});
@@ -219,10 +221,61 @@ class ViewerServer:
             ok, png = cv2.imencode(".png", blank)
             return png.tobytes()
         R, t = self._orbit_pose(pkt, q)
-        img = self._render_fn(R, t, q.get("shader", "rgb"), full=full)
+        img, view_intr = self._render_fn(
+            R, t, q.get("shader", "rgb"), full=full
+        )
         img8 = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+        img8 = np.ascontiguousarray(img8)
+        if q.get("frusta", "1") == "1":
+            self._draw_frusta(img8, view_intr, np.asarray(R), np.asarray(t),
+                              pkt)
         ok, png = cv2.imencode(".png", cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
         return png.tobytes()
+
+    def _draw_frusta(self, img8, view_intr, Rv, tv, pkt):
+        """Camera-frustum wireframes over the rendered view (reference
+        slam_viewer.py:442-540): current estimate RED, ground truth GREEN,
+        window keyframes CYAN. Host-side cv2 lines — the overlay costs no
+        device work."""
+        import cv2
+
+        intr = pkt.intrinsics
+        d = 0.12 * max(1.0, float(np.linalg.norm(np.asarray(tv))) or 1.0)
+        hx = (intr.width * 0.5 / intr.fx) * d
+        hy = (intr.height * 0.5 / intr.fy) * d
+        corners_cam = np.array([
+            [-hx, -hy, d], [hx, -hy, d], [hx, hy, d], [-hx, hy, d],
+        ])
+
+        def project(Xw):
+            xc = Rv @ Xw + tv
+            if xc[2] <= 0.02:
+                return None
+            return (
+                int(round(view_intr.fx * xc[0] / xc[2] + view_intr.cx)),
+                int(round(view_intr.fy * xc[1] / xc[2] + view_intr.cy)),
+            )
+
+        def draw_one(R, t, color, thick=1):
+            R = np.asarray(R, np.float64)
+            t = np.asarray(t, np.float64)
+            C = -R.T @ t                    # camera center in world
+            pts = [project(C)] + [
+                project(R.T @ (c - t)) for c in corners_cam
+            ]
+            if any(p is None for p in pts):
+                return
+            for k in range(1, 5):
+                cv2.line(img8, pts[0], pts[k], color, thick, cv2.LINE_AA)
+                cv2.line(img8, pts[k], pts[1 + (k % 4)], color, thick,
+                         cv2.LINE_AA)
+
+        for idx, (R, t) in (pkt.kf_poses or {}).items():
+            draw_one(R, t, (0, 220, 220))           # window KFs: cyan
+        if pkt.gt_pose is not None:
+            draw_one(*pkt.gt_pose, (0, 220, 0), 2)  # ground truth: green
+        if pkt.cur_pose is not None:
+            draw_one(*pkt.cur_pose, (255, 60, 60), 2)  # estimate: red
 
     def _screenshot(self, q) -> bytes:
         """Render the requested view at FULL sensor resolution and save it
@@ -243,7 +296,8 @@ class ViewerServer:
 def make_render_fn(slam, max_width: int = 480):
     """Build a render_fn over a SLAM instance with the reference's shader
     modes (slam_viewer.py:695-727): segmentation colors and kf-index 'time'
-    colormap override the per-Gaussian color before rasterization."""
+    colormap override the per-Gaussian color before rasterization.
+    Returns (image, view_intrinsics) so the server can overlay frusta."""
     import jax.numpy as jnp
 
     from ..models import gaussian_map as gm
@@ -293,7 +347,7 @@ def make_render_fn(slam, max_width: int = 480):
         )
         if shader == "depth":
             d = out.depth / jnp.maximum(jnp.max(out.depth), 1e-6)
-            return jnp.stack([d, d, jnp.sqrt(d)], axis=-1)
-        return out.rgb
+            return jnp.stack([d, d, jnp.sqrt(d)], axis=-1), view_intr
+        return out.rgb, view_intr
 
     return render_fn

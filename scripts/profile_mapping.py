@@ -30,9 +30,18 @@ def main():
     from bench_mapping import build_state
     from monogs_tpu.slam.mapper import MapperConfig, mapping_chunk
 
+    a = sys.argv[1:]
+    tile = int(a[0]) if len(a) > 0 else 32
+    kcap = int(a[1]) if len(a) > 1 else 1024
+    ecap = int(a[2]) if len(a) > 2 else 210432
+    mdup = int(a[3]) if len(a) > 3 else 4
+    mgen = int(a[4]) if len(a) > 4 else 16
+
     state, intr = build_state()
-    cfg = MapperConfig(entry_capacity=210432)
+    cfg = MapperConfig(tile_size=tile, tile_capacity=kcap,
+                       entry_capacity=ecap, max_dup=mdup, max_dup_gen=mgen)
     n_steps = cfg.rebin_every
+    print(f"config: tile {tile} K {kcap} E {ecap} dup {mdup}/{mgen}")
 
     t0 = time.perf_counter()
     st, aux = mapping_chunk(state, intr, cfg, False, n_steps)
