@@ -390,6 +390,88 @@ class SLAM:
             gmap, adam = gm.grow(st.gmap, st.adam, new_cap)
             self.state = st._replace(gmap=gmap, adam=adam)
 
+    def prewarm(self):
+        """Fire BACKGROUND compiles of every hot jit program before the
+        frame loop touches them. On the axon backend compiles run on a
+        remote compiler service (PALLAS_AXON_REMOTE_COMPILE=1, uncached
+        across processes, minutes each); the service compiles concurrently,
+        so launching all programs up front turns a serial ~4-6 min
+        first-call tax into max-of ~1-2 min hidden behind init. Warmup
+        executions use zero-filled states with the production shapes and
+        serialize briefly on the device grant (tens of ms each).
+
+        Only valid when both entry capacities are pinned by the config: a
+        None capacity is derived from frame 0 (see
+        _derive_entry_capacities) and warming would compile the wrong
+        variant. Returns the started threads (best-effort; errors are
+        swallowed — the real call will surface them)."""
+        if self.tcfg.entry_capacity is None or self.mcfg.entry_capacity is None:
+            return []
+        import threading
+
+        from .mapper import (
+            densify_event as _densify,
+            mapping_span as _span,
+            reset_opacity_event as _reset,
+            window_host_pack as _pack,
+        )
+
+        H, W = self.intr.height, self.intr.width
+        frame = make_frame(
+            0, jnp.zeros((H, W, 3)), jnp.zeros((H, W)), jnp.eye(4)
+        )
+        nr_objects = getattr(self.dataset, "nr_objects", 1)
+        window = window_from_list([frame], self._window_capacity())
+        state = init_mapper_state(
+            self.scfg.map_capacity, nr_objects, window, seed=0
+        )
+
+        def guard(fn):
+            def run():
+                try:
+                    fn()
+                except Exception:  # pragma: no cover - best effort
+                    pass
+            return run
+
+        def w_track():
+            res = track_frame(state.gmap.params, state.gmap.active, frame,
+                              self.intr, self.tcfg)
+            res.host_stats.block_until_ready()
+
+        def w_span():
+            st, aux = _span(state, self.intr, self.mcfg, False, 0, 1)
+            _pack(st).block_until_ready()
+
+        def w_span_init():
+            _, aux = _span(state, self.intr, self.mcfg, True, 0, 1)
+            aux.loss.block_until_ready()
+
+        def w_extend():
+            st, _ = extend_event(state, frame, 0, self.intr, self.mcfg,
+                                 init=False)
+            st2, _ = extend_event(state, frame, 0, self.intr, self.mcfg,
+                                  init=True)
+            st2.gmap.active.block_until_ready()
+
+        def w_events():
+            vis = visibility_pass(state, self.intr, self.mcfg)
+            s1, _ = _densify(state, self.mcfg, init_phase=True)
+            s2, _ = _densify(state, self.mcfg, init_phase=False)
+            s3 = _reset(state)
+            s4, _ = covisibility_prune(
+                state, vis, jnp.zeros((), jnp.int32), self.mcfg
+            )
+            s4.gmap.active.block_until_ready()
+
+        threads = []
+        for fn in (w_track, w_span, w_span_init, w_extend, w_events):
+            t = threading.Thread(target=guard(fn), daemon=True)
+            t.start()
+            threads.append(t)
+        Log("prewarm: background compiles launched", tag="System")
+        return threads
+
     # -- pipeline stages -----------------------------------------------------
 
     def initialize(self, frame: Frame):

@@ -27,6 +27,9 @@ def main():
                     help="color refinement iterations after SLAM")
     ap.add_argument("--ate-align", action="store_true",
                     help="Umeyama-align trajectories before ATE")
+    ap.add_argument("--ate-align-scale", action="store_true",
+                    help="Sim(3) (scale-correcting) alignment before ATE — "
+                         "the monocular protocol (scale is unobservable)")
     ap.add_argument("--viewer", type=int, default=0, metavar="PORT",
                     help="start the live web viewer on this port")
     ap.add_argument("--async-mode", action="store_true",
@@ -117,6 +120,10 @@ def main():
         Log(f"Resumed from {args.resume} at frame {start_frame}",
             tag="System")
 
+    # Background compiles of every hot program (remote compiler service,
+    # concurrent) — no-op unless the config pins entry capacities.
+    slam.prewarm()
+
     # Mode: the reference's single_thread config key (configs *_sp.yaml)
     # selects the deterministic synchronous path; single_thread: False runs
     # tracker ∥ mapper (the reference's default 2-process topology).
@@ -140,6 +147,10 @@ def main():
         if args.ate_align:
             Log(f"aligned ATE {slam.eval_ate(label='aligned', align=True):.4f}",
                 tag="Eval")
+        if args.ate_align_scale:
+            rs = slam.eval_ate(label="aligned_scale", align=True,
+                               align_scale=True)
+            Log(f"scale-aligned ATE {rs:.4f}", tag="Eval")
         # Run-summary artifact: throughput + telemetry next to the eval
         # JSONs (reference keeps fps only in its README claims).
         import json
