@@ -373,10 +373,24 @@ def densify_and_prune(
     adam = mask_rows(adam, changed)
     active = active2
 
+    # Screen-radius accumulator for the size prune below: rows rewritten by
+    # clone/split restart at 0; surviving rows KEEP their accumulated
+    # max radius. DELIBERATE deviation from the reference: its
+    # densification_postfix zeroes max_radii_2d (gaussian_model.py:771)
+    # before densify_and_prune reads it (:881), so `size_threshold` — a
+    # documented config key — can never fire there. The reference's CUDA
+    # binning has no per-Gaussian duplicate cap, so dead size-pruning only
+    # costs it speed; this rebuild's static-shape binning caps duplicates
+    # (max_dup), and un-pruned wide splats starve whole tiles of binning
+    # entries (measured: dup-cap drops grew to 80k entries/iter on the
+    # persistent-map room run). The accumulate-then-prune order matches
+    # upstream-3DGS train.py semantics, which this key was copied from.
+    radii_carried = jnp.where(new_rows | changed, 0.0, gmap.max_radii2d)
+
     gmap = GaussianMap(
         params=params, obj_prob=obj_prob, kf_idx=kf_idx, nr_obs=nr_obs,
         active=active,
-        max_radii2d=jnp.zeros_like(gmap.max_radii2d),
+        max_radii2d=radii_carried,
         xyz_grad_accum=jnp.zeros_like(gmap.xyz_grad_accum),
         denom=jnp.zeros_like(gmap.denom),
     )
@@ -389,6 +403,8 @@ def densify_and_prune(
         prune_mask = prune_mask | big_vs | big_ws
     n_pruned = jnp.sum((prune_mask & gmap.active).astype(jnp.int32))
     gmap, adam = prune_points(gmap, adam, prune_mask)
+    # Accumulation window restarts after the event (reference postfix).
+    gmap = gmap._replace(max_radii2d=jnp.zeros_like(gmap.max_radii2d))
 
     return (
         gmap, adam,

@@ -951,6 +951,10 @@ class SLAM:
         self._record_fps(n - start_frame, time.time() - wall0)
         rmse = self.eval_ate(label="final")
         Log(f"final ATE RMSE {rmse:.4f} (async)", tag="Eval")
+        if self.scfg.save_dir:
+            self.save_map(
+                f"{self.scfg.save_dir}/point_cloud/final/point_cloud.ply"
+            )
         return rmse
 
     def _record_fps(self, n_frames: int, wall_s: float):
