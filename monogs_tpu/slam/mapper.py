@@ -97,6 +97,9 @@ class MapperConfig:
     # fork comments it out at slam_mapper.py:390-393 in favor of the hard
     # isotropic flag). 0 disables (fork behavior).
     isotropic_loss_weight: float = 0.0
+    # L2 anchor on per-keyframe exposure (see TrackerConfig.exposure_reg:
+    # the brightness gauge random-walks on long runs). 0 = parity.
+    exposure_reg: float = 0.0
     # Re-run tile binning every k mapping iterations (Gaussian/pose motion
     # per iteration is sub-pixel); topology events always force a refresh.
     rebin_every: int = 8
@@ -276,6 +279,10 @@ def _mapping_iter(
                 jnp.where(gmap.active[:, None], dev, 0.0)
             ) / (3.0 * jnp.maximum(jnp.sum(gmap.active), 1))
             loss = loss + cfg.isotropic_loss_weight * iso
+        if cfg.exposure_reg > 0.0:
+            loss = loss + cfg.exposure_reg * jnp.sum(
+                (eas * eas + ebs * ebs) * valid_f
+            )
         return loss, out
 
     z3 = jnp.zeros((Wc, 3))

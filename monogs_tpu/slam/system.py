@@ -750,7 +750,15 @@ class SLAM:
         return rmse
 
     def render_at(self, idx: int) -> np.ndarray:
-        """Render the map from the estimated pose of frame idx."""
+        """Render the map from the estimated pose of frame idx.
+
+        EVAL rendering uses GENEROUS binning capacities (max_dup 32,
+        safe-auto entry capacity), NOT the SLAM loop's perf-tuned caps: the
+        quality metric must measure the map, not the binning budget.
+        Measured on the 200-frame room run: the final map's slab demand
+        from early/late poses exceeded the production entry capacity by
+        ~100k rows, truncating whole tile rows to black and reporting
+        13.2 dB for a map whose unclipped renders measure ~20 dB."""
         R, t = self.est_poses[idx]
         p = self.state.gmap.params
         from ..ops.render import render
@@ -760,9 +768,15 @@ class SLAM:
             gm.get_opacity(p), p["rgb"],
             jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32),
             self.intr, active=self.state.gmap.active,
-            tile_capacity=self.mcfg.tile_capacity, max_dup=self.mcfg.max_dup,
-            max_dup_gen=self.mcfg.max_dup_gen, backend=self.mcfg.backend,
+            tile_capacity=max(self.mcfg.tile_capacity, 4096),
+            max_dup=max(self.mcfg.max_dup, 32),
+            max_dup_gen=None, entry_capacity=None,
+            backend=self.mcfg.backend,
         )
+        overflow = int(out.overflow)
+        if overflow > 1000:
+            Log(f"eval render frame {idx}: {overflow} entries dropped even "
+                f"at eval capacities", tag="Eval")
         return np.clip(np.asarray(out.rgb), 0.0, 1.0)
 
     def eval_rendering(self, every: int = 5, label="final") -> dict:

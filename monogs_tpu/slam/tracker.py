@@ -60,6 +60,15 @@ class TrackerConfig:
     entry_capacity: int | None = None  # slab rows; None = safe auto
     backend: str = "pallas"
     isotropic: bool = False
+    # L2 anchor on the per-frame exposure affine: loss += reg*(ea^2+eb^2).
+    # The reference anchors the exposure GAUGE only at frame 0
+    # (slam_utils.py:101-146 applies exp(a)*I+b everywhere else), so
+    # (map brightness) x (exposure) is a gauge freedom that random-walks
+    # over long runs — measured on the 200-frame room run: the map drifted
+    # to 2.5x over-contrast (best global fit gt ~ 0.4*render + 0.35,
+    # costing 4.5-9 dB of raw eval PSNR). A small reg pins the gauge
+    # without fighting real exposure variation. 0 = reference parity.
+    exposure_reg: float = 0.0
     # Constant-velocity pose initialization: T_init = (T_{k-1} T_{k-2}^-1)
     # T_{k-1} instead of T_{k-1}. The reference tried and disabled this
     # (slam_tracker.py:92-100 commented out, "seems to be worse" — handheld
@@ -207,6 +216,8 @@ def track_frame(
             opacity_threshold=cfg.opacity_threshold,
             rgb_npix=intr.width * intr.height,
         )
+        if cfg.exposure_reg > 0.0:
+            loss = loss + cfg.exposure_reg * (ea * ea + eb * eb)
         return loss
 
     grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2, 3))

@@ -67,6 +67,7 @@ def build_tracker_config(cfg: dict, backend: str = "pallas"):
         backend=backend,
         isotropic=g("Gaussians", "isotropic", d=False),
         const_velocity=g("Training", "const_velocity", d=False),
+        exposure_reg=g("Training", "exposure_reg", d=0.0),
     )
 
 
@@ -115,6 +116,7 @@ def build_mapper_config(cfg: dict, backend: str = "pallas"):
         backend=backend,
         isotropic=g("Gaussians", "isotropic", d=False),
         isotropic_loss_weight=g("Training", "isotropic_loss_weight", d=0.0),
+        exposure_reg=g("Training", "exposure_reg", d=0.0),
         monocular=g("Dataset", "sensor_type", d="depth") == "monocular"
         and not g("Dataset", "Calibration", "use_depth", d=False),
         pcd_downsample_init=g("Dataset", "pcd_downsample_init", d=32),
