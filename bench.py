@@ -143,21 +143,27 @@ def main():
     # metrics.json artifacts): fps is a property of a whole SLAM run, not
     # something a bench process can re-measure inside its budget.
     latest = None
+    latest_m = None
     for root, _dirs, files in os.walk("results"):
         if "metrics.json" in files:
             p = os.path.join(root, "metrics.json")
-            # Run dirs are results/<scene>/<YYYY-MM-DD-HH-MM-SS>/: the
-            # timestamp basename orders runs across scene dirs.
+            try:
+                with open(p) as f:
+                    m = json.load(f)
+            except Exception:
+                continue
+            # Full protocol runs only (short experiment segments also leave
+            # metrics.json behind); run dirs are results/<scene>/<stamp>/ —
+            # the timestamp basename orders runs across scene dirs.
+            if not m.get("fps") or m.get("n_frames", 0) < 100:
+                continue
             if latest is None or os.path.basename(root) > os.path.basename(
                 os.path.dirname(latest)
             ):
-                latest = p
-    if latest:
-        with open(latest) as f:
-            m = json.load(f)
-        if m.get("fps"):
-            record["e2e_fps_committed"] = round(m["fps"], 4)
-            record["e2e_fps_run"] = os.path.dirname(latest)
+                latest, latest_m = p, m
+    if latest_m:
+        record["e2e_fps_committed"] = round(latest_m["fps"], 4)
+        record["e2e_fps_run"] = os.path.dirname(latest)
 
     print(json.dumps(record))
 
