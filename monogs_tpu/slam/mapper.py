@@ -80,6 +80,16 @@ class MapperConfig:
     # Refinement (slam_mapper.py:502-548)
     refine_iters: int = 26000
     lambda_ssim: float = 0.2
+    # Refinement renders use EVAL-grade binning caps, not the SLAM loop's
+    # perf-tuned ones. Measured (round 3, iso study run
+    # 2026-08-21-14-12-28): the final map's demand exceeds the production
+    # caps by ~17-19k entries per render (metrics overflow_max), and 3000
+    # refine iterations of gradients against those truncated renders
+    # trained the map to fill holes that only exist under truncation —
+    # post-refine eval 17.79 dB vs 22.85 dB for the SAME pre-refine map.
+    # Offline refinement is not latency-critical; correctness wins.
+    refine_tile_capacity: int = 4096
+    refine_max_dup: int = 32
     # Rendering (tile 32: see TrackerConfig note)
     tile_size: int = 32
     tile_capacity: int = 1024
@@ -649,9 +659,12 @@ def _refine_iter(state: MapperState, frame: Frame, intr: Intrinsics,
             params["xyz"], gm.get_scales(params, cfg.isotropic),
             params["quats"], gm.get_opacity(params), params["rgb"],
             frame.R, frame.t, intr, active=gmap.active,
+            # Eval-grade caps (see MapperConfig.refine_* note): refining
+            # against production-cap truncated renders damages the map.
             tile_size=cfg.tile_size,
-            tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
-            max_dup_gen=cfg.max_dup_gen, entry_capacity=cfg.entry_capacity,
+            tile_capacity=max(cfg.tile_capacity, cfg.refine_tile_capacity),
+            max_dup=max(cfg.max_dup, cfg.refine_max_dup),
+            max_dup_gen=None, entry_capacity=None,
             backend=cfg.backend,
         )
         rgb = jnp.exp(frame.exposure_a) * out.rgb + frame.exposure_b

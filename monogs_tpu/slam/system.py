@@ -843,12 +843,20 @@ class SLAM:
     def save_map(self, path: str):
         st = self.state.gmap
         active = np.asarray(st.active)
+        log_scales = np.asarray(st.params["log_scales"])
+        if self.mcfg.isotropic:
+            # Materialize the isotropic tie (get_scales uses channel 0
+            # only): channels 1-2 hold untrained init values, and a PLY
+            # carrying them would render wrong in the reference toolchain
+            # / standard 3DGS viewers (the PLY layout is self-describing,
+            # reference gaussian_model.py:467-520).
+            log_scales = np.repeat(log_scales[:, :1], 3, axis=1)
         save_ply(
             path,
             np.asarray(st.params["xyz"])[active],
             np.asarray(st.params["rgb"])[active],
             np.asarray(st.params["opacity_logit"])[active],
-            np.asarray(st.params["log_scales"])[active],
+            log_scales[active],
             np.asarray(st.params["quats"])[active],
         )
 
