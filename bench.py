@@ -139,34 +139,49 @@ def main():
         mtimes.sort()
         record["mapping_iter_ms_w8_80k"] = round(mtimes[len(mtimes) // 2], 3)
 
-    # End-to-end throughput of the BEST committed full run (results/
-    # metrics.json artifacts): fps is a property of a whole SLAM run, not
-    # something a bench process can re-measure inside its budget. Best,
-    # not latest: later runs include configuration *studies* whose wall
-    # clock is polluted by non-protocol work (e.g. the isotropic study
-    # re-rendered all GT frames through a cold synth-frame cache at
-    # ~4-6 s/frame — RESULTS.md note); the committed flagship protocol
-    # run remains the throughput of record, and the run dir is reported
-    # for auditability.
-    best = None
-    best_m = None
+    # End-to-end throughput of the committed flagship protocol run
+    # (results/ metrics.json artifacts): fps is a property of a whole SLAM
+    # run, not something a bench process can re-measure inside its budget.
+    # Selection is by PROTOCOL IDENTITY, not max-fps (advisor r3): the run
+    # summary records which config produced it, and the LATEST run of the
+    # flagship config is the throughput of record — so a regression in a
+    # newer flagship run is visible, and heterogeneous configs (mono /
+    # isotropic / study runs) never masquerade as the flagship number.
+    # Runs predating the "config" field are ignored by the primary path;
+    # the fallback (best full run of any config) keeps the metric alive if
+    # no flagship run exists yet.
+    FLAGSHIP = "room_final.yaml"
+    flag_best, flag_key = None, None
+    any_best = None
     for root, _dirs, files in os.walk("results"):
-        if "metrics.json" in files:
-            p = os.path.join(root, "metrics.json")
-            try:
-                with open(p) as f:
-                    m = json.load(f)
-            except Exception:
-                continue
-            # Full protocol runs only (short experiment segments also leave
-            # metrics.json behind).
-            if not m.get("fps") or m.get("n_frames", 0) < 100:
-                continue
-            if best is None or m["fps"] > best_m["fps"]:
-                best, best_m = p, m
-    if best_m:
-        record["e2e_fps_committed"] = round(best_m["fps"], 4)
-        record["e2e_fps_run"] = os.path.dirname(best)
+        if "metrics.json" not in files:
+            continue
+        p = os.path.join(root, "metrics.json")
+        try:
+            with open(p) as f:
+                m = json.load(f)
+        except Exception:
+            continue
+        # Full protocol runs only (short experiment segments also leave
+        # metrics.json behind).
+        if not m.get("fps") or m.get("n_frames", 0) < 100:
+            continue
+        if m.get("config") == FLAGSHIP:
+            # Latest by the timestamped run-dir name.
+            key = os.path.basename(root)
+            if flag_key is None or key > flag_key:
+                flag_best, flag_key = (p, m), key
+        if any_best is None or m["fps"] > any_best[1]["fps"]:
+            any_best = (p, m)
+    chosen = flag_best or any_best
+    if chosen:
+        p, m = chosen
+        record["e2e_fps_committed"] = round(m["fps"], 4)
+        record["e2e_fps_run"] = os.path.dirname(p)
+        if m.get("psnr") is not None:
+            record["e2e_psnr"] = round(m["psnr"], 2)
+        if m.get("final_ate_rmse") is not None:
+            record["e2e_ate_rmse"] = round(m["final_ate_rmse"], 4)
 
     print(json.dumps(record))
 

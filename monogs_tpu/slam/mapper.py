@@ -670,9 +670,14 @@ def _refine_iter(state: MapperState, frame: Frame, intr: Intrinsics,
         rgb = jnp.exp(frame.exposure_a) * out.rgb + frame.exposure_b
         l1 = l1_loss(rgb, frame.rgb)
         s = ssim(rgb, frame.rgb)
-        return (1.0 - cfg.lambda_ssim) * l1 + cfg.lambda_ssim * (1.0 - s)
+        loss = (1.0 - cfg.lambda_ssim) * l1 + cfg.lambda_ssim * (1.0 - s)
+        # Surface binning overflow (advisor r3): the exact silent
+        # truncated-gradient bug this path's eval-grade caps fix would
+        # otherwise be undetectable if the map outgrows even those caps.
+        return loss, out.overflow
 
-    grads = jax.grad(loss_fn)(gmap.params)
+    (_, overflow), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        gmap.params)
     active = gmap.active
 
     def mask_g(g):
@@ -688,7 +693,7 @@ def _refine_iter(state: MapperState, frame: Frame, intr: Intrinsics,
     return state._replace(
         gmap=gmap._replace(params=new_params), adam=new_adam,
         nr_iters=state.nr_iters + 1,
-    )
+    ), overflow
 
 
 refine_step = jax.jit(_refine_iter, static_argnames=("intr", "cfg"))
@@ -699,14 +704,17 @@ def refine_chunk(state: MapperState, frames, intr: Intrinsics,
                  cfg: MapperConfig):
     """A batch of refinement iterations in one device program (frames is a
     stacked Frame pytree with a leading batch axis); amortizes per-call
-    dispatch like mapping_chunk."""
+    dispatch like mapping_chunk. Returns (state, max overflow over the
+    batch) — overflow telemetry mirrors the mapping loop's."""
     B = frames.frame_idx.shape[0]
 
-    def body(i, st):
+    def body(i, carry):
+        st, ov_max = carry
         frame = jax.tree.map(lambda x: x[i], frames)
-        return _refine_iter(st, frame, intr, cfg)
+        st, ov = _refine_iter(st, frame, intr, cfg)
+        return st, jnp.maximum(ov_max, ov)
 
-    return jax.lax.fori_loop(0, B, body, state)
+    return jax.lax.fori_loop(0, B, body, (state, jnp.int32(0)))
 
 
 # ---------------------------------------------------------------------------

@@ -135,6 +135,7 @@ def eval_rendering(
     frame_indices,
     save_dir: str | None = None,
     label: str = "final",
+    extra: dict | None = None,
 ):
     """eval_utils.py:131-208: PSNR/SSIM (masked to gt-present pixels) over
     the given frames. LPIPS is reported when torchmetrics is importable
@@ -180,6 +181,8 @@ def eval_rendering(
         "mean_lpips": float(np.mean(lpips_vals)) if lpips_vals else None,
         "n_frames": len(psnrs),
     }
+    if extra:
+        result.update(extra)
     if save_dir is not None:
         out_dir = os.path.join(save_dir, "psnr", label)
         os.makedirs(out_dir, exist_ok=True)
