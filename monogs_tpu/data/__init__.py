@@ -39,6 +39,10 @@ def _make_dataset(config: dict):
 
         return RealsenseDataset(config)
     if typ == "synthetic":
+        if config["Dataset"].get("sensor_type") == "stereo":
+            from .synthetic import SyntheticStereoDataset
+
+            return SyntheticStereoDataset(config)
         from .synthetic import SyntheticDataset
 
         return SyntheticDataset(config)

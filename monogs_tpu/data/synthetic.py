@@ -213,6 +213,34 @@ class SyntheticDataset(BaseDataset):
             self.poses = _trajectory(self.n_frames, self.motion)
         self.use_depth = bool(syn.get("use_depth", True))  # False = monocular
         self._tile_capacity = int(syn.get("render_tile_capacity", 256))
+        # Optional moving object (the fork's dynamic-scene differentiator,
+        # reference kubric/dynamic.yaml + gaussian_model.py:373-382): a
+        # compact Gaussian blob translating at constant velocity through
+        # the scene, rendered into rgb/depth AND into the segmentation
+        # channel as object id 1 (id 0 = static background). With
+        # Objects.masked: [1] its pixels are excluded from every loss;
+        # unmasked + Objects.dynamic: [1], its pixels seed obj_prob
+        # channel 1 (viewer segmentation shader).
+        dyn = syn.get("dynamic_object") or {}
+        self._dyn = None
+        if dyn.get("n_gaussians", 0):
+            rng = np.random.RandomState(self.seed + 777)
+            n_d = int(dyn["n_gaussians"])
+            center = np.asarray(dyn.get("center", [0.9, 0.55, 0.9]), float)
+            size = float(dyn.get("size", 0.18))
+            vel = np.asarray(dyn.get("velocity", [-0.012, 0.0, -0.012]),
+                             float)
+            self._dyn = {
+                "means": center + rng.normal(0, size, (n_d, 3)),
+                "scales": np.exp(rng.uniform(-0.2, 0.2, (n_d, 3))) * size
+                * 0.45,
+                "quats": rng.normal(size=(n_d, 4)) + np.array([3.0, 0, 0, 0]),
+                "opac": 1.0 / (1.0 + np.exp(-rng.normal(2.0, 0.5, n_d))),
+                "rgb": np.clip(
+                    np.array([0.85, 0.2, 0.15])
+                    + rng.normal(0, 0.08, (n_d, 3)), 0.03, 0.97),
+                "vel": vel,
+            }
         self._cache: dict[int, dict] = {}
         # Persistent on-disk frame cache: GT frames are pure functions of
         # (scene, trajectory, calibration), and rendering one 640x480 frame
@@ -231,6 +259,8 @@ class SyntheticDataset(BaseDataset):
             SCHEMA_V, syn.get("scene", "wall"), self.n_gaussians, self.seed,
             self.motion, self._tile_capacity,
             c["width"], c["height"], c["fx"], c["fy"], c["cx"], c["cy"],
+            # Dynamic-object params change the frames; key them too.
+            repr(sorted(dyn.items())) if self._dyn is not None else "",
         ))
         self._disk_cache = None
         if os.environ.get("MONOGS_SYNTH_CACHE", "1") == "1":
@@ -246,13 +276,48 @@ class SyntheticDataset(BaseDataset):
     def __len__(self):
         return self.n_frames
 
+    def _dyn_scene(self, idx: int):
+        """Dynamic blob at its frame-idx position."""
+        d = self._dyn
+        return (d["means"] + idx * d["vel"], d["scales"], d["quats"],
+                d["opac"], d["rgb"])
+
     def _render_frame(self, idx: int) -> dict:
+        if self._dyn is None:
+            return self._render_pose(self.poses[idx])
+        # Composite static + moving object, then derive the segmentation
+        # channel from an object-only render: a pixel belongs to object 1
+        # where the object covers it AND its surface is not behind the
+        # composite front surface (occlusion-aware within splat blur).
+        T = self.poses[idx]
+        obj = self._dyn_scene(idx)
+        merged = tuple(
+            np.concatenate([np.asarray(a), np.asarray(b)], axis=0)
+            for a, b in zip(self.scene, obj)
+        )
+        full = self._render_pose(T, scene=merged)
+        only = self._render_pose(T, scene=obj)
+        obj_depth = only["depth"]
+        seg = (
+            only["mask"]
+            & (obj_depth <= full["depth"] + 0.05)
+        ).astype(np.int32)
+        full["segmentation"] = seg
+        # NOTE: the Objects.masked exclusion is applied at READ time
+        # (__getitem__), never baked into the cached frame — the cache key
+        # deliberately excludes the Objects config (frames are identical),
+        # and a baked-in mask from one config would poison another's run.
+        return full
+
+    def _render_pose(self, T: np.ndarray, scene=None) -> dict:
+        """Render the GT scene (or an override scene tuple) from an
+        arbitrary w2c pose (stereo right cameras render at a
+        baseline-shifted pose, not a trajectory index)."""
         import jax.numpy as jnp
 
         from ..ops.render import render
 
-        means, scales, quats, opac, rgb = self.scene
-        T = self.poses[idx]
+        means, scales, quats, opac, rgb = scene or self.scene
         out = render(
             jnp.asarray(means, jnp.float32), jnp.asarray(scales, jnp.float32),
             jnp.asarray(quats, jnp.float32), jnp.asarray(opac, jnp.float32),
@@ -288,12 +353,16 @@ class SyntheticDataset(BaseDataset):
                     "rgb": z["rgb"], "depth": z["depth"],
                     "pose": self.poses[idx].astype(np.float32),
                     "mask": z["mask"],
-                    "segmentation": np.zeros(z["depth"].shape, np.int32),
+                    "segmentation": (
+                        z["segmentation"] if "segmentation" in z.files
+                        else np.zeros(z["depth"].shape, np.int32)
+                    ),
                 }
             d = self._render_frame(idx)
             tmp = path + f".tmp{os.getpid()}"
             with open(tmp, "wb") as f:  # handle: savez must not append .npz
-                np.savez(f, rgb=d["rgb"], depth=d["depth"], mask=d["mask"])
+                np.savez(f, rgb=d["rgb"], depth=d["depth"], mask=d["mask"],
+                         segmentation=d["segmentation"])
             os.replace(tmp, path)
             return d
         return self._render_frame(idx)
@@ -302,6 +371,116 @@ class SyntheticDataset(BaseDataset):
         if idx not in self._cache:
             self._cache[idx] = self._load_or_render(idx)
         d = self._cache[idx]
+        if self.masked_objects_idxs:
+            # Config-dependent loss mask, derived at read time from the
+            # config-independent cached segmentation (see _render_frame).
+            d = dict(
+                d, mask=d["mask"] & self.mask_from_segmentation(
+                    d["segmentation"])
+            )
         if not self.use_depth:
             d = dict(d, depth=None)
         return d
+
+
+class SyntheticStereoDataset(SyntheticDataset):
+    """Stereo sensor mode over the synthetic GT scene (BASELINE config 5's
+    sensor path without EuRoC assets — the dataset hosts are unreachable
+    from this rig).
+
+    Renders a rectified cam0/cam1 pair per frame (cam1 = cam0 translated
+    by `baseline` metres along the camera +x axis) and then runs the FULL
+    EuRoC-style host pipeline of the reference
+    (/root/reference/utils/dataset.py:571-616): per-camera
+    initUndistortRectifyMap (distortion-free rig, so the remap is an
+    identity warp — but the code path is the real one) -> remap -> SGBM
+    disparity -> depth = fx * baseline / disp. Sensor depth given to SLAM
+    is the SGBM estimate, never the GT render — matching stereo-mode
+    semantics where depth is *derived*, with SGBM's real failure modes
+    (left-edge band, low-texture dropouts, quantization)."""
+
+    def __init__(self, config: dict | None = None):
+        super().__init__(config)
+        syn = (config or DEFAULT_CONFIG)["Dataset"].get(
+            "synthetic", DEFAULT_CONFIG["Dataset"]["synthetic"])
+        st = syn.get("stereo", {})
+        self.baseline = float(st.get("baseline", 0.08))
+        self.num_disparities = int(st.get("num_disparities", 128))
+        self.sgbm_block_size = int(st.get("block_size", 11))
+        self.uniqueness = int(st.get("uniqueness_ratio", 10))
+        # Right-camera w2c: x_right = x_left - (b, 0, 0) in cam coords.
+        self._T_lr = np.eye(4, dtype=np.float64)
+        self._T_lr[0, 3] = -self.baseline
+        # Separate disk-cache namespace: frames depend on the stereo
+        # parameters too (parent key covers scene/trajectory/calibration).
+        if self._disk_cache is not None:
+            import hashlib
+            import os
+
+            tag = hashlib.sha1(repr((
+                "stereo", 1, self.baseline, self.num_disparities,
+                self.sgbm_block_size, self.uniqueness,
+            )).encode()).hexdigest()[:12]
+            self._disk_cache = self._disk_cache + "-st" + tag
+            os.makedirs(self._disk_cache, exist_ok=True)
+
+    def _rectify_maps(self):
+        """Distortion-free rig: zero distCoeffs, R = identity, K_new = K.
+        Running the real OpenCV rectification machinery keeps this the
+        same code path a distorted rig would take."""
+        import cv2
+
+        K = np.array([
+            [self.intrinsics.fx, 0.0, self.intrinsics.cx],
+            [0.0, self.intrinsics.fy, self.intrinsics.cy],
+            [0.0, 0.0, 1.0],
+        ])
+        dist = np.zeros(5)
+        size = (self.intrinsics.width, self.intrinsics.height)
+        m_l = cv2.initUndistortRectifyMap(K, dist, np.eye(3), K, size,
+                                          cv2.CV_32FC1)
+        m_r = cv2.initUndistortRectifyMap(K, dist, np.eye(3), K, size,
+                                          cv2.CV_32FC1)
+        return m_l, m_r
+
+    def _render_frame(self, idx: int) -> dict:
+        import cv2
+
+        T_l = self.poses[idx]
+        T_r = self._T_lr @ T_l
+        left = self._render_pose(T_l)
+        right = self._render_pose(T_r)
+        if not hasattr(self, "_maps"):
+            self._maps = self._rectify_maps()
+        m_l, m_r = self._maps
+
+        g_l = (np.clip(left["rgb"], 0, 1) * 255).astype(np.uint8)
+        g_r = (np.clip(right["rgb"], 0, 1) * 255).astype(np.uint8)
+        g_l = cv2.cvtColor(g_l, cv2.COLOR_RGB2GRAY)
+        g_r = cv2.cvtColor(g_r, cv2.COLOR_RGB2GRAY)
+        g_l = cv2.remap(g_l, *m_l, cv2.INTER_LINEAR)
+        g_r = cv2.remap(g_r, *m_r, cv2.INTER_LINEAR)
+
+        # SGBM (dataset.py:606-616 semantics; numDisparities sized for the
+        # room's near field: min depth = fx*b / numDisparities).
+        sgbm = cv2.StereoSGBM_create(
+            minDisparity=0, numDisparities=self.num_disparities,
+            blockSize=self.sgbm_block_size,
+        )
+        sgbm.setUniquenessRatio(self.uniqueness)
+        disp = sgbm.compute(g_l, g_r).astype(np.float32) / 16.0
+        valid = disp > 0.0
+        bf = self.intrinsics.fx * self.baseline
+        depth = np.where(valid, bf / np.maximum(disp, 1e-6), 0.0)
+        # Reject matches beyond the scene's plausible range (stereo
+        # outliers at tiny disparity explode to huge depth).
+        depth = np.where(depth < 100.0, depth, 0.0)
+        valid = depth > 0.0
+
+        return {
+            "rgb": left["rgb"],
+            "depth": depth.astype(np.float32),
+            "pose": T_l.astype(np.float32),
+            "mask": valid & left["mask"],
+            "segmentation": np.zeros(depth.shape, np.int32),
+        }

@@ -107,6 +107,16 @@ class MapperConfig:
     # fork comments it out at slam_mapper.py:390-393 in favor of the hard
     # isotropic flag). 0 disables (fork behavior).
     isotropic_loss_weight: float = 0.0
+    # Convergence early exit for mapping spans (TPU-native deviation: the
+    # reference runs fixed iteration counts, slam_mapper.py:258-496).
+    # When converged_eps > 0, the DEVICE span loop breaks once the window
+    # loss's relative per-iteration improvement stays below converged_eps
+    # for converged_patience consecutive iterations (stall counter carries
+    # across rebin segments). The host cadence schedule is unchanged —
+    # densify/reset events still fire at their virtual iteration points;
+    # only the device work between them shrinks. 0 = off (parity).
+    converged_eps: float = 0.0
+    converged_patience: int = 4
     # L2 anchor on per-keyframe exposure (see TrackerConfig.exposure_reg:
     # the brightness gauge random-walks on long runs). 0 = parity.
     exposure_reg: float = 0.0
@@ -473,28 +483,71 @@ def mapping_span(
     gap paid the ~50 ms dispatch floor per iteration, up to 7x per event
     window). A whole inter-event gap is now one dispatch. Callers must keep
     tail_len in [1, rebin_every] (the tail segment always rebins once).
+
+    Convergence early exit (cfg.converged_eps > 0; documented deviation —
+    the reference runs fixed iteration counts): the loop breaks once the
+    window loss's relative per-iteration improvement stays below
+    converged_eps for converged_patience consecutive iterations; the stall
+    counter carries across rebin segments (a rebin at a plateau rarely
+    unlocks improvement — bins only change under large moves). Entirely
+    device-side: no extra host readbacks, and the host cadence schedule is
+    untouched.
     """
     gt_tiles = _tile_window_gt(state.window, intr, cfg)
     aux0 = _zero_aux(state.window.capacity, state.gmap.capacity)
+    eps = float(cfg.converged_eps)
+    patience = jnp.int32(cfg.converged_patience)
+
+    def not_stalled(stall):
+        return stall < patience
 
     def segment(carry, m):
-        """Rebin at segment start, then m iterations on frozen bins."""
-        st0 = _mut_to_state(carry[0], state)
+        """Rebin at segment start, then up to m iterations on frozen
+        bins. carry = (mut, aux, prev_loss, stall)."""
+        mut0, aux_in, prev0, stall0 = carry
+        st0 = _mut_to_state(mut0, state)
         bins = _window_bins_traced(st0, intr, cfg)
 
-        def body(i, c):
-            st = _mut_to_state(c[0], state)
+        def cond(c):
+            i, _mut, _aux, _prev, stall = c
+            ok = i < m
+            if eps > 0.0:
+                ok = ok & not_stalled(stall)
+            return ok
+
+        def body(c):
+            i, mut, _aux, prev, stall = c
+            st = _mut_to_state(mut, state)
             st, aux = _mapping_iter(st, intr, cfg, init, bins, gt_tiles)
-            return _state_to_mut(st), aux
+            rel = (prev - aux.loss) / jnp.maximum(jnp.abs(prev), 1e-12)
+            stall = jnp.where(rel < eps, stall + 1, jnp.int32(0))
+            return i + 1, _state_to_mut(st), aux, aux.loss, stall
 
-        return jax.lax.fori_loop(0, m, body, carry)
+        _, mut, aux, prev, stall = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), mut0, aux_in, prev0, stall0)
+        )
+        return mut, aux, prev, stall
 
-    carry = jax.lax.fori_loop(
-        0, n_segments,
-        lambda s, c: segment(c, cfg.rebin_every),
-        (_state_to_mut(state), aux0),
+    def outer_cond(c):
+        s, _mut, _aux, _prev, stall = c
+        ok = s < n_segments
+        if eps > 0.0:
+            ok = ok & not_stalled(stall)
+        return ok
+
+    def outer_body(c):
+        s, mut, aux, prev, stall = c
+        mut, aux, prev, stall = segment(
+            (mut, aux, prev, stall), cfg.rebin_every
+        )
+        return s + 1, mut, aux, prev, stall
+
+    carry0 = (jnp.int32(0), _state_to_mut(state), aux0,
+              jnp.float32(jnp.inf), jnp.int32(0))
+    _, mut, aux, prev, stall = jax.lax.while_loop(
+        outer_cond, outer_body, carry0
     )
-    mut, aux = segment(carry, tail_len)
+    mut, aux, _, _ = segment((mut, aux, prev, stall), tail_len)
     return _mut_to_state(mut, state), aux
 
 

@@ -293,6 +293,11 @@ class SLAM:
     # at 640x480), with overflow-triggered bumps as the backstop.
     ENTRY_DENSITY = 0.7          # slab rows per pixel, with headroom
     CLIFF_ROWS = 262144          # 16 MB / (16 channels * 4 B)
+    # Largest capacity measured FAST on the v5e (r3 sweep: 225280 fast,
+    # 235520 +40 ms/iter — the real cliff is ~14.4 MB of (E,16) f32
+    # gather source, not the nominal 16 MB). Capacity growth snaps here
+    # when demand fits: the next slab size up would cross the cliff.
+    FAST_ROWS = 225280
 
     def _derive_entry_capacities(self, frame: Frame):
         """Derive tight per-config entry capacities from a first-frame
@@ -372,6 +377,13 @@ class SLAM:
             self.tcfg.tile_capacity,
         )
         new = min(-(-(cap * 3 // 2) // SLAB) * SLAB, safe)
+        # Snap under the VMEM gather cliff when the measured demand fits:
+        # a 1.5x bump from a near-cliff capacity lands well past it and
+        # taxes every remaining iteration ~40 ms (r3 measurement), while
+        # demand (cap + dropped rows) often needs only a few more slabs.
+        demand = cap + int(overflow)
+        if demand <= self.FAST_ROWS < new:
+            new = self.FAST_ROWS
         if new <= cap:
             return
         self._cap_bumps += 1

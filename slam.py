@@ -25,6 +25,12 @@ def main():
                     help="rasterizer backend override")
     ap.add_argument("--refine", type=int, default=0,
                     help="color refinement iterations after SLAM")
+    ap.add_argument("--refine-curve", default=None, metavar="N1,N2,...",
+                    help="refine incrementally and eval PSNR/SSIM at each "
+                         "cumulative milestone (e.g. 3000,10000,26000) — "
+                         "the saturation curve reconciling our 3k protocol "
+                         "with the reference's 26k "
+                         "(slam_mapper.py:521). Writes refine_curve.json")
     ap.add_argument("--ate-align", action="store_true",
                     help="Umeyama-align trajectories before ATE")
     ap.add_argument("--ate-align-scale", action="store_true",
@@ -137,6 +143,24 @@ def main():
         rmse = slam.run(n_frames=args.n_frames, start_frame=start_frame)
     if args.refine:
         slam.refine(iters=args.refine)
+    refine_curve = []
+    if args.refine_curve and is_primary():
+        import json as _json
+
+        milestones = sorted(int(x) for x in args.refine_curve.split(","))
+        done = args.refine or 0
+        for m in milestones:
+            if m > done:
+                slam.refine(iters=m - done)
+                done = m
+            r = slam.eval_rendering(every=5, label=f"refine{m}")
+            refine_curve.append(
+                {"iters": m, "psnr": float(r["mean_psnr"]),
+                 "ssim": float(r["mean_ssim"])})
+            Log(f"refine {m}: PSNR {r['mean_psnr']:.2f} "
+                f"SSIM {r['mean_ssim']:.3f}", tag="Eval")
+        with open(os.path.join(save_dir, "refine_curve.json"), "w") as f:
+            _json.dump(refine_curve, f, indent=1)
     # Artifacts/eval on the primary process only (host logic is replicated
     # across processes in multi-host runs; device work is already shared).
     if is_primary():
@@ -185,6 +209,8 @@ def main():
             summary["ssim"] = float(eval_res["mean_ssim"])
             if eval_res.get("train_view_inflated"):
                 summary["psnr_train_view_inflated"] = True
+        if refine_curve:
+            summary["refine_curve"] = refine_curve
         # Host-blocking stage decomposition (utils/profiling.section):
         # where the wall clock went — the round-2 fps gap was 4x dispatch
         # overhead and this is the evidence trail for closing it.
