@@ -2,23 +2,20 @@
 (VERDICT r3 missing #4; BASELINE north star: "gradient all-reduce over ICI
 overlapped with the backward tile pass").
 
-The rig has ONE real TPU chip, so ICI overlap itself is unmeasurable here.
-What IS checkable, on the 8-virtual-device CPU mesh:
+The rig has ONE real TPU chip, so a live multi-chip trace is impossible —
+but jax.experimental.topologies supports AOT compilation against an
+abstract v5e 2x4 topology. The OPTIMIZED TPU HLO of the shard_map step is
+post-scheduling: XLA's latency-hiding scheduler has already rewritten
+collectives into async start/done pairs and placed them. Counting the
+compute ops scheduled BETWEEN each start and its done IS the overlap:
+those fusions execute on the TensorCore while the collective rides ICI.
 
-1. **Schedule structure** (the property that makes overlap possible): in
-   the optimized HLO of the shard_map step, the five leaf-wise
-   reduce-scatters must be independent collectives issued interleaved
-   with backward computation — not one fused end-of-step all-reduce
-   behind a barrier. This script dumps the post-optimization instruction
-   order of the main computation and reports, for each reduce-scatter,
-   how many fusion/computation ops appear AFTER it (work available to
-   overlap with the collective on a backend with async collectives).
+Run: python scripts/overlap_trace.py          (TPU AOT; no chip needed)
+     python scripts/overlap_trace.py --cpu    (8-virt-device smoke; NOTE
+     XLA:CPU lowers psum_scatter to all-reduce+slice and runs collectives
+     synchronously — structure only, no overlap evidence there)
 
-2. **Wall-clock sanity**: leaf-wise psum_scatter step vs the
-   all-reduce-everything baseline variant at equal semantics.
-
-Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 python
-scripts/overlap_trace.py   (conftest-style CPU forcing is built in).
+Findings are recorded in docs/OVERLAP.md.
 """
 
 import re
@@ -43,9 +40,8 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def build(n_dev=8):
+def build(mesh, n_kf=8):
     from monogs_tpu.ops.graphics import Intrinsics
-    from monogs_tpu.parallel.mesh import make_mesh, shard_mapper_state
     from monogs_tpu.parallel.overlap import make_overlap_step
     from monogs_tpu.slam.camera import make_frame, window_from_list
     from monogs_tpu.slam.mapper import MapperConfig, init_mapper_state
@@ -54,17 +50,14 @@ def build(n_dev=8):
     intr = Intrinsics(fx=50.0, fy=50.0, cx=W / 2, cy=H / 2, width=W, height=H)
     rng = np.random.RandomState(0)
     frames = []
-    for i in range(n_dev):
+    for i in range(n_kf):
         rgb = jnp.asarray(rng.rand(H, W, 3), jnp.float32)
         depth = jnp.asarray(rng.uniform(1.0, 3.0, (H, W)), jnp.float32)
         T = np.eye(4)
         T[:3, 3] = [0.01 * i, 0, 0]
         frames.append(make_frame(i, rgb, depth, jnp.asarray(T)))
-    window = window_from_list(frames, n_dev)
+    window = window_from_list(frames, n_kf)
     state = init_mapper_state(4096, 1, window, seed=0)
-    # Activate some gaussians so backward has real work.
-    import monogs_tpu.models.gaussian_map as gm
-
     params = dict(state.gmap.params)
     params["xyz"] = jnp.asarray(
         rng.uniform(-1, 1, (4096, 3)) + np.array([0, 0, 2.0]), jnp.float32)
@@ -75,71 +68,110 @@ def build(n_dev=8):
 
     cfg = MapperConfig(tile_size=16, tile_capacity=256, max_dup=8,
                        backend="ref")
-    mesh = make_mesh(n_dev)
-    state = shard_mapper_state(state, mesh)
     step = make_overlap_step(mesh, intr, cfg)
     return step, state
 
 
-def main():
-    step, state = build()
-    lowered = step.lower(state)
-    compiled = lowered.compile()
-    hlo = compiled.as_text()
+def analyze(hlo: str):
+    """Post-scheduling instruction walk of the entry computation: for each
+    async collective start/done pair, count fusions/computation ops
+    scheduled between them (= overlapped compute)."""
+    # Entry computation body only.
+    m = re.search(r"^ENTRY [^\n]*\{(.*?)^\}", hlo, re.S | re.M)
+    body = m.group(1).splitlines() if m else hlo.splitlines()
 
-    # Post-optimization instruction order of the entry computation.
-    # XLA:CPU executes thunks roughly in this order; on TPU the
-    # latency-hiding scheduler turns independent collectives into
-    # async start/done pairs it can hoist — independence in this order
-    # is the property that enables that.
-    lines = hlo.splitlines()
-    main_start = None
-    for i, ln in enumerate(lines):
-        if re.match(r"^ENTRY ", ln):
-            main_start = i
-            break
-    body = lines[main_start:] if main_start is not None else lines
-
-    events = []  # (pos, kind, name)
-    for i, ln in enumerate(lines):
+    COMPUTE = ("fusion", "convolution", "dot", "custom-call")
+    starts = {}     # pair key -> pos
+    pairs = []      # (kind, start_pos, done_pos)
+    compute_pos = []
+    for i, ln in enumerate(body):
         ln = ln.strip()
-        m = re.match(r"%?([\w.\-]+) = .*", ln)
-        if not m:
+        mm = re.match(r"%?([\w.\-]+) = ", ln)
+        if not mm:
             continue
-        name = m.group(1)
-        if "reduce-scatter" in ln and "reduce-scatter" in name:
-            events.append((i, "reduce-scatter", name))
-        elif "all-gather" in ln and "all-gather" in name:
-            events.append((i, "all-gather", name))
-        elif "all-reduce" in ln and "all-reduce" in name:
-            events.append((i, "all-reduce", name))
-        elif name.startswith("fusion") or ".fusion" in name:
-            events.append((i, "fusion", name))
+        name = mm.group(1)
+        # The opcode follows the (possibly tuple/layout-annotated) type:
+        # `%n = f32[..]{..} fusion(...)` / `%n = (f32[..], ..) while(...)`.
+        om = re.search(r"[\}\])\]] ([a-z][\w\-]*)\(", ln)
+        op = om.group(1) if om else ""
+        # v5e async machinery: collectives appear as kCustom fusions named
+        # async-collective-start[.k] / async-collective-done[.k] (the
+        # start fusion may CONTAIN compute — "async collective fusion").
+        sm = re.match(r"(?:async-collective|[\w\-]+?)-start(\.\d+)?$", name)
+        dm = re.match(r"(?:async-collective|[\w\-]+?)-done(\.\d+)?$", name)
+        if sm and ("start" in name):
+            starts[name.replace("-start", "")] = (i, name)
+        elif dm and ("done" in name):
+            key = name.replace("-done", "")
+            if key in starts:
+                sp, sname = starts[key]
+                pairs.append((sname, sp, i))
+        elif any(op.startswith(c) for c in COMPUTE) or op in ("while",):
+            compute_pos.append(i)
 
-    n_fusion = sum(1 for e in events if e[1] == "fusion")
-    rs = [e for e in events if e[1] == "reduce-scatter"]
-    ar = [e for e in events if e[1] == "all-reduce"]
-    ag = [e for e in events if e[1] == "all-gather"]
-    print(f"collectives: {len(rs)} reduce-scatter, {len(ar)} all-reduce, "
-          f"{len(ag)} all-gather; {n_fusion} fusions total")
-    for pos, kind, name in rs + ar + ag:
-        after = sum(1 for p, k, _ in events if k == "fusion" and p > pos)
-        before = n_fusion - after
-        print(f"  {kind:15s} {name[:48]:48s} fusions before/after: "
-              f"{before}/{after}")
+    print(f"entry: {len(compute_pos)} compute ops, "
+          f"{len(pairs)} async collective pairs")
+    total_overlapped = 0
+    for kind, sp, dp in pairs:
+        n_in = sum(1 for p in compute_pos if sp < p < dp)
+        total_overlapped += n_in
+        print(f"  {kind:24s} span {dp - sp:5d} instrs, "
+              f"{n_in:4d} compute ops scheduled inside")
+    return len(pairs), total_overlapped
 
-    # Wall clock: overlap step itself (the equivalence vs the psum path is
-    # already asserted in tests/test_parallel.py).
-    st, aux = step(state)
-    jax.block_until_ready(aux.loss)
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        st, aux = step(st)
+
+def main():
+    if "--cpu" in sys.argv:
+        from monogs_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        step, state = build(mesh)
+        from monogs_tpu.parallel.mesh import shard_mapper_state
+
+        state = shard_mapper_state(state, mesh)
+        hlo = step.lower(state).compile().as_text()
+        analyze(hlo)
+        st, aux = step(state)
         jax.block_until_ready(aux.loss)
-        times.append(time.perf_counter() - t0)
-    print(f"step wall (8-dev CPU mesh, 64x48/4096): "
-          f"median {sorted(times)[2]*1000:.1f} ms")
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            st, aux = step(st)
+            jax.block_until_ready(aux.loss)
+            times.append(time.perf_counter() - t0)
+        print(f"step wall (8-dev CPU mesh): {sorted(times)[2]*1000:.1f} ms")
+        return
+
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding
+
+    from monogs_tpu.parallel.mesh import WINDOW_AXIS
+    from monogs_tpu.parallel.overlap import _state_specs
+
+    topo = topologies.get_topology_desc(
+        platform="tpu", topology_name="v5e:2x4",
+        chips_per_host_bounds=(2, 4, 1), num_slices=1,
+    )
+    mesh = Mesh(np.array(topo.devices), (WINDOW_AXIS,))
+    step, state = build(mesh)
+    specs = _state_specs(state)
+    shapes = jax.tree.map(
+        lambda x, s: jax.ShapeDtypeStruct(
+            jnp.shape(x), jnp.result_type(x),
+            sharding=NamedSharding(mesh, s)),
+        state, specs,
+    )
+    print("AOT-compiling the overlap step for v5e 2x4 ...", flush=True)
+    compiled = step.lower(shapes).compile()
+    hlo = compiled.as_text()
+    n_pairs, n_over = analyze(hlo)
+    out = "/tmp/overlap_tpu_hlo.txt"
+    with open(out, "w") as f:
+        f.write(hlo)
+    print(f"full optimized HLO -> {out}")
+    if n_pairs == 0:
+        print("NO async collective pairs found — scheduler serialized; "
+              "see docs/OVERLAP.md for implications")
 
 
 if __name__ == "__main__":
