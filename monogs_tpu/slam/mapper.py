@@ -90,6 +90,22 @@ class MapperConfig:
     # Offline refinement is not latency-critical; correctness wins.
     refine_tile_capacity: int = 4096
     refine_max_dup: int = 32
+    # Colors-only refinement (r4 default; measured on the r4 flagship
+    # pre-refine map, /tmp refine study 2026-08-21): refining ALL params
+    # under a capped rasterizer feeds a widening feedback loop — truncated
+    # tiles render black, gradients widen/darken nearby splats, wider
+    # splats truncate more (in-run refine(3000): 17.8 -> 16.75 dB with
+    # eval-frame drops growing 21k -> 54k). Freezing geometry held the
+    # gain (304 iters: +1.3 dB frozen vs +2.0 all-params, but the
+    # all-params path degrades past ~1k iters) AND is production-cap
+    # tolerant (19.17 dB at dup8/tile2048 vs 19.11 at eval caps), so
+    # colors-only refine renders at the FAST production caps and
+    # differentiates only rgb/opacity (the projection backward for
+    # xyz/quats/scales is DCEd). The reference refines all params
+    # (slam_mapper.py:502-548) — but its CUDA rasterizer is uncapped, so
+    # the loop this guards against cannot occur there; set False to match
+    # reference semantics at eval-grade caps.
+    refine_colors_only: bool = True
     # Rendering (tile 32: see TrackerConfig note)
     tile_size: int = 32
     tile_capacity: int = 1024
@@ -704,33 +720,58 @@ def _refine_iter(state: MapperState, frame: Frame, intr: Intrinsics,
     only. The keyframe's tracked exposure affine is applied to the render
     (the mapping loss optimized map colors in exposure-free space,
     losses.get_loss_mapping; comparing a raw render against the
-    exposure-distorted gt would fight that — round-2 VERDICT #9)."""
+    exposure-distorted gt would fight that — round-2 VERDICT #9).
+
+    refine_colors_only (default): differentiate rgb/opacity only and
+    render at the FAST production caps (quality-equivalent, measured —
+    MapperConfig.refine_colors_only note); the geometry backward and the
+    slow eval-grade binning exist only for the all-params mode."""
     gmap = state.gmap
 
-    def loss_fn(params):
+    def render_loss(params):
+        if cfg.refine_colors_only:
+            caps = dict(
+                tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+                max_dup_gen=cfg.max_dup_gen,
+                entry_capacity=cfg.entry_capacity,
+            )
+        else:
+            # Eval-grade caps (see MapperConfig.refine_* note): refining
+            # GEOMETRY against production-cap truncated renders damages
+            # the map.
+            caps = dict(
+                tile_capacity=max(cfg.tile_capacity,
+                                  cfg.refine_tile_capacity),
+                max_dup=max(cfg.max_dup, cfg.refine_max_dup),
+                max_dup_gen=None, entry_capacity=None,
+            )
         out = render(
             params["xyz"], gm.get_scales(params, cfg.isotropic),
             params["quats"], gm.get_opacity(params), params["rgb"],
             frame.R, frame.t, intr, active=gmap.active,
-            # Eval-grade caps (see MapperConfig.refine_* note): refining
-            # against production-cap truncated renders damages the map.
-            tile_size=cfg.tile_size,
-            tile_capacity=max(cfg.tile_capacity, cfg.refine_tile_capacity),
-            max_dup=max(cfg.max_dup, cfg.refine_max_dup),
-            max_dup_gen=None, entry_capacity=None,
-            backend=cfg.backend,
+            tile_size=cfg.tile_size, backend=cfg.backend, **caps,
         )
         rgb = jnp.exp(frame.exposure_a) * out.rgb + frame.exposure_b
         l1 = l1_loss(rgb, frame.rgb)
         s = ssim(rgb, frame.rgb)
         loss = (1.0 - cfg.lambda_ssim) * l1 + cfg.lambda_ssim * (1.0 - s)
-        # Surface binning overflow (advisor r3): the exact silent
-        # truncated-gradient bug this path's eval-grade caps fix would
-        # otherwise be undetectable if the map outgrows even those caps.
+        # Surface binning overflow (advisor r3): silent truncated-gradient
+        # damage must be observable from the host driver.
         return loss, out.overflow
 
-    (_, overflow), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        gmap.params)
+    if cfg.refine_colors_only:
+        OPT = ("rgb", "opacity_logit")
+
+        def loss_fn(opt_params):
+            return render_loss({**gmap.params, **opt_params})
+
+        (_, overflow), g_opt = jax.value_and_grad(loss_fn, has_aux=True)(
+            {k: gmap.params[k] for k in OPT})
+        grads = {k: (g_opt[k] if k in g_opt else jnp.zeros_like(v))
+                 for k, v in gmap.params.items()}
+    else:
+        (_, overflow), grads = jax.value_and_grad(
+            render_loss, has_aux=True)(gmap.params)
     active = gmap.active
 
     def mask_g(g):
@@ -740,9 +781,12 @@ def _refine_iter(state: MapperState, frame: Frame, intr: Intrinsics,
         return jnp.where(m, g, 0.0)
 
     grads = {k: mask_g(v) for k, v in grads.items()}
-    new_params, new_adam = adam_step(
-        gmap.params, grads, state.adam, cfg.map_lrs(state.nr_iters)
-    )
+    lrs = cfg.map_lrs(state.nr_iters)
+    if cfg.refine_colors_only:
+        # lr 0 (not just zero grads) for frozen leaves: warm Adam momentum
+        # from the SLAM loop would otherwise keep moving geometry.
+        lrs = {k: (v if k in OPT else 0.0) for k, v in lrs.items()}
+    new_params, new_adam = adam_step(gmap.params, grads, state.adam, lrs)
     return state._replace(
         gmap=gmap._replace(params=new_params), adam=new_adam,
         nr_iters=state.nr_iters + 1,

@@ -116,6 +116,7 @@ def build_mapper_config(cfg: dict, backend: str = "pallas"):
         backend=backend,
         isotropic=g("Gaussians", "isotropic", d=False),
         isotropic_loss_weight=g("Training", "isotropic_loss_weight", d=0.0),
+        refine_colors_only=g("Training", "refine_colors_only", d=True),
         converged_eps=g("Training", "mapping_converged_eps", d=0.0),
         converged_patience=g("Training", "mapping_converged_patience", d=4),
         exposure_reg=g("Training", "exposure_reg", d=0.0),

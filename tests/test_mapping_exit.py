@@ -81,3 +81,37 @@ def test_tiny_eps_matches_parity_trajectory():
         np.asarray(st0.gmap.params["xyz"]), atol=0, rtol=0)
     np.testing.assert_allclose(float(aux1.loss), float(aux0.loss),
                                rtol=1e-6)
+
+
+def test_refine_colors_only_freezes_geometry():
+    """refine_colors_only (MapperConfig note): geometry must not move —
+    including under WARM Adam momentum from the SLAM loop, which is why
+    the freeze is lr=0, not just zero gradients."""
+    import jax
+
+    from monogs_tpu.slam.mapper import refine_step
+
+    state, intr = _make_state()
+    # Warm, nonzero moments on every leaf (as after a long mapping run).
+    warm = jax.tree.map(lambda x: jnp.full_like(x, 0.01), state.adam.mu)
+    state = state._replace(
+        adam=state.adam._replace(mu=warm, nu=jax.tree.map(
+            lambda x: jnp.full_like(x, 0.001), state.adam.nu)))
+    frame = jax.tree.map(lambda x: x[0], state.window.frames)
+
+    cfg = _cfg()  # refine_colors_only defaults True
+    st, overflow = refine_step(state, frame, intr, cfg)
+    for k in ("xyz", "log_scales", "quats"):
+        np.testing.assert_array_equal(
+            np.asarray(st.gmap.params[k]), np.asarray(state.gmap.params[k]),
+            err_msg=f"{k} moved in colors-only refine")
+    assert not np.allclose(np.asarray(st.gmap.params["rgb"]),
+                           np.asarray(state.gmap.params["rgb"])), (
+        "rgb did not move — refine did nothing")
+
+    cfg_all = _cfg(refine_colors_only=False)
+    st2, _ = refine_step(state, frame, intr, cfg_all)
+    assert not np.allclose(np.asarray(st2.gmap.params["xyz"]),
+                           np.asarray(state.gmap.params["xyz"])), (
+        "all-params refine should move geometry"
+    )
