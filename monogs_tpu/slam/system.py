@@ -635,13 +635,12 @@ class SLAM:
             self._place_state()
 
         with section("kf.optimize"):
-            self.state, stats = run_optimize_map(
+            # run_optimize_map already returns the post-optimization
+            # visibility (prune=True pass, slam_mapper.py:720, 408-451) —
+            # recomputing it here was a redundant dispatch per keyframe.
+            self.state, vis = run_optimize_map(
                 self.state, self.intr, self.mcfg, self.mcfg.iters_per_kf
             )
-
-        # prune=True pass (slam_mapper.py:720, 408-451).
-        with section("kf.visibility"):
-            vis = visibility_pass(self.state, self.intr, self.mcfg)
         if len(kf_list) == self.kcfg.window_size:
             if not self.first_time_pruned:
                 floor = jnp.asarray(-(2 ** 31), jnp.int32)
@@ -868,10 +867,17 @@ class SLAM:
             # back sparsely (every ~25 chunks) + once at the end.
             if done % 200 < B or done >= iters:
                 overflow_max = max(overflow_max, int(ov))
-        if overflow_max:
+        if overflow_max and not self.mcfg.refine_colors_only:
+            # All-params refine against truncated renders damages geometry
+            # (the widening feedback loop — MapperConfig note); loud.
             Log(f"refine renders dropped up to {overflow_max} entries "
                 f"(raise Raster.refine_tile_capacity/refine_max_dup) — "
-                f"refined against truncated images", tag="Mapper")
+                f"refined GEOMETRY against truncated images", tag="Mapper")
+        elif overflow_max:
+            # Colors-only refine is production-cap tolerant (measured
+            # -0.06 dB at these drop levels); informational.
+            Log(f"refine (colors-only) peak binning drop {overflow_max} "
+                f"entries/render", tag="Mapper")
         self.metrics["refine_overflow_max"] = overflow_max
 
     def save_map(self, path: str):
