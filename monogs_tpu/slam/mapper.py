@@ -714,7 +714,7 @@ def extend_event(
 
 
 def _refine_iter(state: MapperState, frame: Frame, intr: Intrinsics,
-                 cfg: MapperConfig):
+                 cfg: MapperConfig, bins=None):
     """One color-refinement iteration (slam_mapper.py:502-548):
     (1-lambda)*L1 + lambda*(1-SSIM) on a random keyframe, Gaussian params
     only. The keyframe's tracked exposure affine is applied to the render
@@ -749,7 +749,8 @@ def _refine_iter(state: MapperState, frame: Frame, intr: Intrinsics,
             params["xyz"], gm.get_scales(params, cfg.isotropic),
             params["quats"], gm.get_opacity(params), params["rgb"],
             frame.R, frame.t, intr, active=gmap.active,
-            tile_size=cfg.tile_size, backend=cfg.backend, **caps,
+            tile_size=cfg.tile_size, backend=cfg.backend, bins=bins,
+            **caps,
         )
         rgb = jnp.exp(frame.exposure_a) * out.rgb + frame.exposure_b
         l1 = l1_loss(rgb, frame.rgb)
@@ -812,6 +813,53 @@ def refine_chunk(state: MapperState, frames, intr: Intrinsics,
         return st, jnp.maximum(ov_max, ov)
 
     return jax.lax.fori_loop(0, B, body, (state, jnp.int32(0)))
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def refine_span(state: MapperState, frame: Frame, intr: Intrinsics,
+                cfg: MapperConfig, n_iters):
+    """n_iters colors-only refinement iterations on ONE keyframe in one
+    device program, tile-binning ONCE (colors-only refine freezes
+    geometry, so the bins are EXACT for the whole span — unlike the
+    mapping loop's deliberately-stale rebin_every reuse; only the
+    opacity-based cull drifts, bounded by one span).
+
+    This is the fast refine path: the 578 ms/iter measured on the r4
+    flagship recovery decomposed into per-iteration binning (+ per-chunk
+    host image staging, fixed in SLAM.refine by a device-resident
+    keyframe stack). n_iters is a traced scalar — one compile covers all
+    span lengths. Protocol note vs the reference (slam_mapper.py:507):
+    the reference samples a random viewpoint EVERY iteration; this path
+    samples a random keyframe every span (8 iters) — at 26k iterations
+    that is ~3.2k samples over a 40-keyframe run, the same coverage at an
+    8x coarser shuffle granularity."""
+    from ..ops.binning import tile_bin
+    from ..ops.projection import project_gaussians_ch
+
+    gmap = state.gmap
+    scales = gm.get_scales(gmap.params, cfg.isotropic)
+    opac = gm.get_opacity(gmap.params)
+    proj = project_gaussians_ch(
+        gmap.params["xyz"], scales, gmap.params["quats"], opac,
+        frame.R, frame.t, jnp.zeros(3), jnp.zeros(3), intr,
+        active=gmap.active,
+    )
+    bins = tile_bin(
+        None, proj.radius, proj.depth, proj.valid,
+        img_w=intr.width, img_h=intr.height, tile_size=cfg.tile_size,
+        tile_capacity=cfg.tile_capacity, max_dup=cfg.max_dup,
+        entry_capacity=cfg.entry_capacity,
+        opacity=jnp.where(proj.valid, proj.opacity, 0.0),
+        conic=(proj.ca, proj.cb, proj.cc), uv=(proj.u, proj.v),
+        max_dup_gen=cfg.max_dup_gen,
+    )
+
+    def body(i, carry):
+        st, ov_max = carry
+        st, ov = _refine_iter(st, frame, intr, cfg, bins=bins)
+        return st, jnp.maximum(ov_max, ov)
+
+    return jax.lax.fori_loop(0, n_iters, body, (state, jnp.int32(0)))
 
 
 # ---------------------------------------------------------------------------

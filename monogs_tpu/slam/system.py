@@ -44,6 +44,7 @@ from .camera import (
 from .mapper import (
     MapperState,
     refine_chunk,
+    refine_span,
     covisibility_prune,
     extend_event,
     init_mapper_state,
@@ -850,23 +851,42 @@ class SLAM:
         B = 8
         done = 0
         overflow_max = 0
-        while done < iters:
-            if iters - done >= B:
-                batch = [fetch(kf_idxs[rng.randrange(len(kf_idxs))])
-                         for _ in range(B)]
-                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batch)
-                self.state, ov = refine_chunk(self.state, stacked, self.intr,
-                                              self.mcfg)
-                done += B
-            else:
+        if self.mcfg.refine_colors_only:
+            # FAST path (r4): the slow-path profile decomposed its 578
+            # ms/iter into per-chunk host image staging (8 frames fetched,
+            # stacked, and shipped through the axon tunnel per chunk) and
+            # per-iteration tile binning. Here every keyframe is staged to
+            # the device ONCE (~6 MB each), and refine_span runs B iters
+            # on one sampled keyframe per dispatch with bins computed once
+            # — EXACT bins, since colors-only refine freezes geometry
+            # (refine_span docstring has the sampling-granularity note).
+            frames_dev = {i: jax.device_put(fetch(i)) for i in kf_idxs}
+            while done < iters:
                 idx = kf_idxs[rng.randrange(len(kf_idxs))]
-                self.state, ov = refine_step(self.state, fetch(idx),
-                                             self.intr, self.mcfg)
-                done += 1
-            # Cheap host check every chunk would fence the pipeline; read
-            # back sparsely (every ~25 chunks) + once at the end.
-            if done % 200 < B or done >= iters:
-                overflow_max = max(overflow_max, int(ov))
+                n = min(B, iters - done)
+                self.state, ov = refine_span(
+                    self.state, frames_dev[idx], self.intr, self.mcfg, n)
+                done += n
+                if done % 200 < B or done >= iters:
+                    overflow_max = max(overflow_max, int(ov))
+        else:
+            while done < iters:
+                if iters - done >= B:
+                    batch = [fetch(kf_idxs[rng.randrange(len(kf_idxs))])
+                             for _ in range(B)]
+                    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batch)
+                    self.state, ov = refine_chunk(self.state, stacked,
+                                                  self.intr, self.mcfg)
+                    done += B
+                else:
+                    idx = kf_idxs[rng.randrange(len(kf_idxs))]
+                    self.state, ov = refine_step(self.state, fetch(idx),
+                                                 self.intr, self.mcfg)
+                    done += 1
+                # Cheap host check every chunk would fence the pipeline;
+                # read back sparsely (every ~25 chunks) + once at the end.
+                if done % 200 < B or done >= iters:
+                    overflow_max = max(overflow_max, int(ov))
         if overflow_max and not self.mcfg.refine_colors_only:
             # All-params refine against truncated renders damages geometry
             # (the widening feedback loop — MapperConfig note); loud.
