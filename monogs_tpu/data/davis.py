@@ -22,7 +22,7 @@ def _digit_key(f: str) -> int:
 class DavisDataset(BaseDataset):
     def __init__(self, config: dict):
         super().__init__(config)
-        self.root = config["Dataset"]["dataset_path"]
+        self.root = os.path.expanduser(config["Dataset"]["dataset_path"])
         self.color_paths = sorted(
             glob.glob(f"{self.root}/rgb/*.jpg"), key=_digit_key
         )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import csv
 import glob
+import os
 
 import numpy as np
 
@@ -66,7 +67,7 @@ class EurocDataset(BaseDataset):
         super().__init__(config)
         self.has_depth = True  # depth from stereo SGBM
 
-        self.root = config["Dataset"]["dataset_path"]
+        self.root = os.path.expanduser(config["Dataset"]["dataset_path"])
         start_idx = int(config["Dataset"].get("start_idx", 0))
         self.color_paths = sorted(
             glob.glob(f"{self.root}/mav0/cam0/data/*.png")

@@ -23,7 +23,7 @@ def _digit_key(f: str) -> int:
 class KubricDataset(BaseDataset):
     def __init__(self, config: dict):
         super().__init__(config)
-        self.root = config["Dataset"]["dataset_path"]
+        self.root = os.path.expanduser(config["Dataset"]["dataset_path"])
         with open(os.path.join(self.root, "metadata.json")) as f:
             metadata = json.load(f)["camera"]
         flip = np.diag([1.0, -1.0, -1.0])

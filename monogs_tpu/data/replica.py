@@ -18,7 +18,7 @@ from .base import BaseDataset
 class ReplicaDataset(BaseDataset):
     def __init__(self, config: dict):
         super().__init__(config)
-        self.root = config["Dataset"]["dataset_path"]
+        self.root = os.path.expanduser(config["Dataset"]["dataset_path"])
         self.color_paths = sorted(
             glob.glob(os.path.join(self.root, "results/frame*.jpg"))
         )

@@ -282,27 +282,39 @@ class SyntheticDataset(BaseDataset):
         return (d["means"] + idx * d["vel"], d["scales"], d["quats"],
                 d["opac"], d["rgb"])
 
-    def _render_frame(self, idx: int) -> dict:
+    def _scene_at(self, idx: int):
+        """(scene, obj) at frame idx: the render scene (static, or static
+        merged with the moving object) and the object-only scene tuple
+        (None without a dynamic object). Shared by the mono/RGB-D path and
+        the stereo subclass so both eyes see the moving object."""
         if self._dyn is None:
-            return self._render_pose(self.poses[idx])
-        # Composite static + moving object, then derive the segmentation
-        # channel from an object-only render: a pixel belongs to object 1
-        # where the object covers it AND its surface is not behind the
-        # composite front surface (occlusion-aware within splat blur).
-        T = self.poses[idx]
+            return self.scene, None
         obj = self._dyn_scene(idx)
         merged = tuple(
             np.concatenate([np.asarray(a), np.asarray(b)], axis=0)
             for a, b in zip(self.scene, obj)
         )
-        full = self._render_pose(T, scene=merged)
+        return merged, obj
+
+    def _segmentation_for(self, full: dict, T: np.ndarray, obj) -> np.ndarray:
+        """Object-id channel from an object-only render: a pixel belongs to
+        object 1 where the object covers it AND its surface is not behind
+        the composite front surface (occlusion-aware within splat blur)."""
         only = self._render_pose(T, scene=obj)
         obj_depth = only["depth"]
-        seg = (
-            only["mask"]
-            & (obj_depth <= full["depth"] + 0.05)
+        return (
+            only["mask"] & (obj_depth <= full["depth"] + 0.05)
         ).astype(np.int32)
-        full["segmentation"] = seg
+
+    def _render_frame(self, idx: int) -> dict:
+        if self._dyn is None:
+            return self._render_pose(self.poses[idx])
+        # Composite static + moving object, then derive the segmentation
+        # channel from an object-only render.
+        T = self.poses[idx]
+        merged, obj = self._scene_at(idx)
+        full = self._render_pose(T, scene=merged)
+        full["segmentation"] = self._segmentation_for(full, T, obj)
         # NOTE: the Objects.masked exclusion is applied at READ time
         # (__getitem__), never baked into the cached frame — the cache key
         # deliberately excludes the Objects config (frames are identical),
@@ -448,8 +460,12 @@ class SyntheticStereoDataset(SyntheticDataset):
 
         T_l = self.poses[idx]
         T_r = self._T_lr @ T_l
-        left = self._render_pose(T_l)
-        right = self._render_pose(T_r)
+        # Both eyes render the SAME per-frame scene — including the moving
+        # object when synthetic.dynamic_object is configured (ADVICE r4:
+        # the old override silently dropped it in stereo mode).
+        scene, obj = self._scene_at(idx)
+        left = self._render_pose(T_l, scene=scene)
+        right = self._render_pose(T_r, scene=scene)
         if not hasattr(self, "_maps"):
             self._maps = self._rectify_maps()
         m_l, m_r = self._maps
@@ -477,10 +493,12 @@ class SyntheticStereoDataset(SyntheticDataset):
         depth = np.where(depth < 100.0, depth, 0.0)
         valid = depth > 0.0
 
+        seg = (np.zeros(depth.shape, np.int32) if obj is None
+               else self._segmentation_for(left, T_l, obj))
         return {
             "rgb": left["rgb"],
             "depth": depth.astype(np.float32),
             "pose": T_l.astype(np.float32),
             "mask": valid & left["mask"],
-            "segmentation": np.zeros(depth.shape, np.int32),
+            "segmentation": seg,
         }

@@ -31,6 +31,15 @@ def read_stamped_table(path: str, skiprows: int = 0) -> np.ndarray:
             if not line or line.startswith("#"):
                 continue
             rows.append(line.split())
+    if not rows:
+        return np.asarray(rows, dtype=np.str_)
+    # Tolerate ragged rows (trailing token, truncated line) the way the
+    # reference's genfromtxt(filling_values="") does: pad short rows with
+    # "" and truncate long ones to the modal column count (ADVICE r4 — a
+    # ragged line used to raise an inhomogeneous-array error).
+    counts = np.bincount([len(r) for r in rows])
+    ncol = int(counts.argmax())
+    rows = [r[:ncol] + [""] * (ncol - len(r)) for r in rows]
     return np.asarray(rows, dtype=np.str_)
 
 
@@ -108,7 +117,7 @@ def tum_quat_to_c2w(pvec: np.ndarray) -> np.ndarray:
 class TUMDataset(BaseDataset):
     def __init__(self, config: dict):
         super().__init__(config)
-        self.root = config["Dataset"]["dataset_path"]
+        self.root = os.path.expanduser(config["Dataset"]["dataset_path"])
         self._load_tum(self.root, frame_rate=32)
 
     def _load_tum(self, datapath: str, frame_rate: int):

@@ -95,10 +95,23 @@ def auto_entry_capacity(n: int, max_dup: int, num_tiles: int,
 
 
 def _tile_candidates(u, v, radius, valid, opacity, conic,
-                     tiles_x, tiles_y, T, tile_size, max_dup, max_dup_gen):
+                     tiles_x, tiles_y, T, tile_size, max_dup, max_dup_gen,
+                     cull_alpha=ALPHA_EPS):
     """Candidate (tile, gaussian) entry generation shared by tile_bin and
     measure_entry_demand: rectangle coverage, exact peak-alpha corner cull,
     survivor compaction to max_dup columns.
+
+    cull_alpha is the peak-alpha cull threshold. At the default ALPHA_EPS
+    (1/255) the cull is EXACT: it drops precisely the tiles the kernel's
+    per-pixel `ok` floor would zero anyway (reference parity — the CUDA
+    rasterizer generates 3-sigma rectangles and skips alpha < 1/255
+    per pixel; an exact peak cull is strictly tighter). Raising it trades
+    bounded image error (each dropped tile contributes < cull_alpha of
+    pre-saturation weight per pixel) for compositing pair count — the
+    isotropic protocol's footprints put ~15-30% of pairs below 4/255
+    (r5 study, RESULTS.md). This subsumes the "opacity-dependent isoline
+    radius" idea: the cull already bounds each tile by its exact peak
+    alpha, which IS the isoline test, per tile instead of per radius.
 
     Returns (tile_id (N, max_dup) with sentinel T, dup_valid, n_cover,
     surv_gen, D_gen)."""
@@ -162,7 +175,7 @@ def _tile_candidates(u, v, radius, valid, opacity, conic,
         )
         pmax = jnp.where(inside, 0.0, pmax)
         peak = opacity[:, None] * jnp.exp(pmax)
-        dup_valid = dup_valid & (peak >= ALPHA_EPS)
+        dup_valid = dup_valid & (peak >= cull_alpha)
     tile_id = jnp.where(dup_valid, ty * tiles_x + tx, T).astype(jnp.int32)
     surv_gen = jnp.sum(dup_valid.astype(jnp.int32), axis=1)    # (N,)
     if D_gen > max_dup:
@@ -180,12 +193,13 @@ def _tile_candidates(u, v, radius, valid, opacity, conic,
 @functools.partial(
     jax.jit,
     static_argnames=("img_w", "img_h", "tile_size", "tile_capacity",
-                     "max_dup", "max_dup_gen"),
+                     "max_dup", "max_dup_gen", "cull_alpha"),
 )
 def measure_entry_demand(
     u, v, radius, valid, opacity, conic,
     img_w: int, img_h: int, tile_size: int, tile_capacity: int,
     max_dup: int, max_dup_gen: int | None = None,
+    cull_alpha: float = ALPHA_EPS,
 ):
     """Occupancy probe: the SLAB-padded slab size the current scene actually
     needs (sum over tiles of ceil(min(count, K)/SLAB)*SLAB) plus the live
@@ -204,7 +218,7 @@ def measure_entry_demand(
     radius = jax.lax.stop_gradient(radius)
     tile_id, dup_valid, _, _, _ = _tile_candidates(
         u, v, radius, valid, opacity, conic,
-        tiles_x, tiles_y, T, tile_size, max_dup, max_dup_gen,
+        tiles_x, tiles_y, T, tile_size, max_dup, max_dup_gen, cull_alpha,
     )
     # Per-tile counts via one flat sort + searchsorted (same recipe as
     # tile_bin, minus the entry payloads).
@@ -218,7 +232,8 @@ def measure_entry_demand(
 @functools.partial(
     jax.jit,
     static_argnames=("img_w", "img_h", "tile_size", "tile_capacity",
-                     "max_dup", "entry_capacity", "max_dup_gen"),
+                     "max_dup", "entry_capacity", "max_dup_gen",
+                     "cull_alpha"),
 )
 def tile_bin(
     mean2d: jnp.ndarray,   # (N,2) pixel coords, or None with uv=
@@ -239,6 +254,9 @@ def tile_bin(
     max_dup_gen: int | None = None,       # candidate width before the cull;
                                           #   > max_dup enables survivor
                                           #   compaction (see below)
+    cull_alpha: float = ALPHA_EPS,        # peak-alpha cull threshold; the
+                                          #   1/255 default is exact parity
+                                          #   (_tile_candidates docstring)
 ) -> TileBins:
     if uv is not None:
         u, v = uv
@@ -264,7 +282,7 @@ def tile_bin(
 
     tile_id, dup_valid, n_cover, surv_gen, D_gen = _tile_candidates(
         u, v, radius, valid, opacity, conic,
-        tiles_x, tiles_y, T, tile_size, max_dup, max_dup_gen,
+        tiles_x, tiles_y, T, tile_size, max_dup, max_dup_gen, cull_alpha,
     )
     # Packed sort key: [tile_id | depth bits]. Positive-float IEEE bits are
     # monotonic; clamp to >=0 so the bitcast stays order-preserving.

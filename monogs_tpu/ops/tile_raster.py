@@ -72,10 +72,15 @@ ALPHA_EPS = 1.0 / 255.0
 ALPHA_MAX = 0.99
 TOUCH_T_MIN = 1e-4          # transmittance floor for the n_touched signal
 CHUNK = _BCHUNK             # slots processed per inner step (lane width)
-# Skip chunks once max log-transmittance < this. Env override for roofline
-# experiments (MONOGS_LOG_SKIP=-1e30 disables skipping -> every padded
-# chunk is processed, the all-pairs cost).
-LOG_SKIP = float(os.environ.get("MONOGS_LOG_SKIP", "-16.0"))
+# Skip chunks once max log-transmittance < this. ln(1e-4) matches the
+# reference CUDA rasterizer's per-pixel termination (forward.cu stops
+# compositing a pixel at T < 1e-4); applying it at chunk granularity
+# (every pixel of the tile must be saturated) is strictly more
+# conservative than the reference per-pixel rule. Rounds 1-4 ran -16
+# (T < 1.1e-7), paying extra tail chunks for precision the reference
+# never had. Env override for roofline experiments
+# (MONOGS_LOG_SKIP=-1e30 disables skipping -> the all-pairs cost).
+LOG_SKIP = float(os.environ.get("MONOGS_LOG_SKIP", "-9.2103"))
 FEAT_ROWS = 16              # sublane-padded feature rows (10 used)
 
 

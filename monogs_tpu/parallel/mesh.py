@@ -19,6 +19,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 WINDOW_AXIS = "win"
+# Two-level (DCN-aware) mesh axes: "host" strides the data-center network
+# between processes, "ici" the chip interconnect within one host's devices.
+HOST_AXIS = "host"
+ICI_AXIS = "ici"
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -28,8 +32,39 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devices), (WINDOW_AXIS,))
 
 
+def make_mesh_2level(devices=None) -> Mesh:
+    """(host, ici) mesh: rows group devices by owning process, so axis 0
+    collectives ride DCN and axis 1 collectives stay on intra-host ICI.
+
+    Sharding layout built on it (VERDICT r4 task 9 / SURVEY §2.3 TPU plan):
+    the keyframe window splits host-major over BOTH axes (cross-host
+    traffic is the per-iteration map-gradient sum only — one all-reduce of
+    the (C,) channel gradients, hierarchical: ICI reduce per host, then
+    the small DCN hop), while the ZeRO optimizer state shards over the ICI
+    axis only — the reduce-scatter feeding the sharded Adam update and the
+    parameter all-gather after it never leave a host."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    by_proc: dict[int, list] = {}
+    for d in devices:
+        by_proc.setdefault(d.process_index, []).append(d)
+    counts = {len(v) for v in by_proc.values()}
+    if len(counts) != 1:
+        raise ValueError(
+            f"heterogeneous device counts per process: "
+            f"{ {k: len(v) for k, v in by_proc.items()} }")
+    rows = [by_proc[k] for k in sorted(by_proc)]
+    return Mesh(np.array(rows), (HOST_AXIS, ICI_AXIS))
+
+
+def is_2level(mesh: Mesh) -> bool:
+    return HOST_AXIS in mesh.axis_names
+
+
 def window_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (window) axis sharded across devices."""
+    """Leading (window) axis sharded across devices (host-major on a
+    2-level mesh: a host's keyframes are contiguous)."""
+    if is_2level(mesh):
+        return NamedSharding(mesh, P((HOST_AXIS, ICI_AXIS)))
     return NamedSharding(mesh, P(WINDOW_AXIS))
 
 
@@ -38,9 +73,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def gaussian_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (gaussian capacity) axis sharded across devices — used for
-    the ZeRO-style sharded optimizer state."""
+    """Leading (gaussian capacity) axis sharding for the ZeRO-style
+    optimizer state. On a 2-level mesh the capacity shards over the ICI
+    axis ONLY (replicated across hosts): the per-iteration
+    reduce-scatter + Adam + all-gather cycle stays ICI-local, and only
+    the raw gradient sum crosses DCN."""
+    if is_2level(mesh):
+        return NamedSharding(mesh, P(ICI_AXIS))
     return NamedSharding(mesh, P(WINDOW_AXIS))
+
+
+def _zero_divisor(mesh: Mesh) -> int:
+    """Mesh size the ZeRO capacity axis must divide."""
+    if is_2level(mesh):
+        return mesh.shape[ICI_AXIS]
+    return mesh.devices.size
 
 
 def shard_mapper_state(state, mesh: Mesh, shard_optimizer: bool = True):
@@ -56,7 +103,7 @@ def shard_mapper_state(state, mesh: Mesh, shard_optimizer: bool = True):
     replication when the capacity doesn't divide the mesh."""
     win_s = window_sharding(mesh)
     rep = replicated(mesh)
-    n = mesh.devices.size
+    n = _zero_divisor(mesh)
 
     def place(x, sharding):
         return jax.device_put(x, sharding)

@@ -115,6 +115,11 @@ class MapperConfig:
     max_dup: int = 4
     max_dup_gen: int | None = 16
     entry_capacity: int | None = None  # slab rows; None = safe auto
+    # Peak-alpha tile cull threshold (binning._tile_candidates). 1/255 is
+    # EXACT reference parity; raising it drops barely-visible tiles to cut
+    # compositing pairs (Raster.cull_alpha — the isotropic-protocol
+    # throughput knob, r5 study in RESULTS.md).
+    cull_alpha: float = 1.0 / 255.0
     backend: str = "pallas"
     isotropic: bool = False
     # Monocular (no sensor depth): upstream-MonoGS seeding semantics.
@@ -136,6 +141,10 @@ class MapperConfig:
     # L2 anchor on per-keyframe exposure (see TrackerConfig.exposure_reg:
     # the brightness gauge random-walks on long runs). 0 = parity.
     exposure_reg: float = 0.0
+    # Mapping-loss rgb/depth mix: lambda * l1_rgb + (1-lambda) * l1_depth
+    # (reference slam_utils.py:101-146, lambda_depth=0.9). Exposed for the
+    # RGB-D-vs-mono photometric study (VERDICT r4 task 3).
+    lambda_depth: float = 0.9
     # Re-run tile binning every k mapping iterations (Gaussian/pose motion
     # per iteration is sub-pixel); topology events always force a refresh.
     rebin_every: int = 8
@@ -247,7 +256,7 @@ def _window_bins_traced(state: MapperState, intr: Intrinsics,
             entry_capacity=cfg.entry_capacity,
             opacity=jnp.where(proj.valid, proj.opacity, 0.0),
             conic=(proj.ca, proj.cb, proj.cc), uv=(proj.u, proj.v),
-            max_dup_gen=cfg.max_dup_gen,
+            max_dup_gen=cfg.max_dup_gen, cull_alpha=cfg.cull_alpha,
         )
 
     return jax.vmap(per_kf)(f.R, f.t)
@@ -305,7 +314,8 @@ def _mapping_iter(
             with_n_touched=False, assemble=False,
         )
         losses = jax.vmap(
-            functools.partial(get_loss_mapping, init=init)
+            functools.partial(get_loss_mapping, init=init,
+                              lambda_depth=cfg.lambda_depth)
         )(out.rgb, out.depth, gt_rgb_t, gt_depth_t, gt_mask_t, eas, ebs)
         loss = jnp.sum(losses * valid_f)
         if cfg.isotropic_loss_weight > 0.0:
@@ -906,6 +916,12 @@ def run_initialize_map(state: MapperState, intr: Intrinsics, cfg: MapperConfig,
         n_seg, tail = _span_args(stop - cur, cfg.rebin_every)
         state, aux = mapping_span(state, intr, cfg, True, n_seg, tail)
         cur = stop
+        if cfg.converged_eps > 0.0:
+            # An early-exited span executed fewer iterations than the
+            # virtual schedule; pin the device counter to the virtual
+            # point so densify/reset cadence and the xyz LR schedule stay
+            # aligned across keyframes (ADVICE r4).
+            state = state._replace(nr_iters=jnp.asarray(cur, jnp.int32))
         if (cur - 1) % cfg.init_gaussian_update == 0:
             state, _ = densify_event(state, cfg, init_phase=True)
         if cur == cfg.init_gaussian_reset:
@@ -932,6 +948,11 @@ def run_optimize_map(
         n_seg, tail = _span_args(stop - cur, cfg.rebin_every)
         state, aux = mapping_span(state, intr, cfg, False, n_seg, tail)
         cur = it = stop
+        if cfg.converged_eps > 0.0:
+            # Early exit runs fewer real iterations than the virtual
+            # schedule; keep the device counter on the virtual cadence
+            # (densify/reset points, xyz LR decay) across calls (ADVICE r4).
+            state = state._replace(nr_iters=jnp.asarray(cur, jnp.int32))
         overflow = int(aux.overflow)
         if overflow > 1000:
             from ..utils.logging import Log

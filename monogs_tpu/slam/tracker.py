@@ -58,6 +58,9 @@ class TrackerConfig:
     max_dup: int = 4
     max_dup_gen: int | None = 16
     entry_capacity: int | None = None  # slab rows; None = safe auto
+    # Peak-alpha tile cull threshold; 1/255 = exact reference parity
+    # (see MapperConfig.cull_alpha / binning._tile_candidates).
+    cull_alpha: float = 1.0 / 255.0
     backend: str = "pallas"
     isotropic: bool = False
     # L2 anchor on the per-frame exposure affine: loss += reg*(ea^2+eb^2).
@@ -192,7 +195,7 @@ def track_frame(
             entry_capacity=cfg.entry_capacity,
             opacity=jnp.where(proj.valid, proj.opacity, 0.0),
             conic=(proj.ca, proj.cb, proj.cc), uv=(proj.u, proj.v),
-            max_dup_gen=cfg.max_dup_gen,
+            max_dup_gen=cfg.max_dup_gen, cull_alpha=cfg.cull_alpha,
         )
 
     def loss_fn(rho, theta, ea, eb, R, t, bins):

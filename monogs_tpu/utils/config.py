@@ -64,6 +64,7 @@ def build_tracker_config(cfg: dict, backend: str = "pallas"):
         max_dup=g("Raster", "max_dup", d=4),
         max_dup_gen=g("Raster", "max_dup_gen", d=16),
         entry_capacity=g("Raster", "tracking_entry_capacity", d=None),
+        cull_alpha=g("Raster", "cull_alpha", d=1.0 / 255.0),
         backend=backend,
         isotropic=g("Gaussians", "isotropic", d=False),
         const_velocity=g("Training", "const_velocity", d=False),
@@ -113,11 +114,13 @@ def build_mapper_config(cfg: dict, backend: str = "pallas"):
         max_dup=g("Raster", "max_dup", d=4),
         max_dup_gen=g("Raster", "max_dup_gen", d=16),
         entry_capacity=g("Raster", "entry_capacity", d=None),
+        cull_alpha=g("Raster", "cull_alpha", d=1.0 / 255.0),
         backend=backend,
         isotropic=g("Gaussians", "isotropic", d=False),
         isotropic_loss_weight=g("Training", "isotropic_loss_weight", d=0.0),
         refine_colors_only=g("Training", "refine_colors_only", d=True),
         converged_eps=g("Training", "mapping_converged_eps", d=0.0),
+        lambda_depth=g("Training", "lambda_depth", d=0.9),
         converged_patience=g("Training", "mapping_converged_patience", d=4),
         exposure_reg=g("Training", "exposure_reg", d=0.0),
         monocular=g("Dataset", "sensor_type", d="depth") == "monocular"

@@ -142,7 +142,6 @@ def eval_rendering(
     (the reference's lpips-alex); otherwise omitted."""
     import jax.numpy as jnp
 
-    from ..ops.losses import psnr as psnr_fn
     from ..ops.losses import ssim as ssim_fn
 
     lpips_model = None
@@ -163,16 +162,23 @@ def eval_rendering(
         out = np.asarray(render_fn(idx))
         gt_rgb, _ = gt_fn(idx)
         gt_rgb = np.asarray(gt_rgb)
-        mask = (gt_rgb > 0).any(axis=-1, keepdims=True)
-        out_m = np.where(mask, out, 0.0)
-        gt_m = np.where(mask, gt_rgb, 0.0)
-        psnrs.append(float(psnr_fn(jnp.asarray(out_m), jnp.asarray(gt_m))))
-        ssims.append(float(ssim_fn(jnp.asarray(out_m), jnp.asarray(gt_m))))
+        # Reference masking semantics (eval_utils.py:181-184): PSNR over the
+        # gt>0 ELEMENTS only (per-channel mask, masked elements excluded from
+        # the mean); SSIM and LPIPS on the FULL frames, unmasked.
+        mask = gt_rgb > 0
+        n_sel = int(mask.sum())
+        if n_sel:
+            mse = float(((out - gt_rgb)[mask] ** 2).mean())
+            psnrs.append(20.0 * np.log10(1.0 / np.sqrt(max(mse, 1e-12))))
+        else:
+            psnrs.append(0.0)
+        ssims.append(float(ssim_fn(jnp.asarray(out), jnp.asarray(gt_rgb))))
         if lpips_model is not None:  # pragma: no cover
             import torch
 
-            a = torch.from_numpy(np.clip(out_m, 0, 1).transpose(2, 0, 1))[None]
-            b = torch.from_numpy(np.clip(gt_m, 0, 1).transpose(2, 0, 1))[None]
+            a = torch.from_numpy(np.clip(out, 0, 1).transpose(2, 0, 1))[None]
+            b = torch.from_numpy(
+                np.clip(gt_rgb, 0, 1).transpose(2, 0, 1))[None]
             lpips_vals.append(float(lpips_model(a.float(), b.float())))
 
     result = {

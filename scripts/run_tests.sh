@@ -14,7 +14,7 @@ cd "$(dirname "$0")/.."
 
 GROUPS_LIST=(
   "tests/test_raster.py tests/test_lie.py tests/test_map_model.py tests/test_mapping_exit.py"
-  "tests/test_slam_e2e.py tests/test_viewer.py tests/test_ckpt.py"
+  "tests/test_slam_e2e.py tests/test_viewer.py tests/test_ckpt.py tests/test_phase_resume.py"
   "tests/test_slam_e2e_pallas.py tests/test_async.py tests/test_utils.py tests/test_graft_entry.py tests/test_dynamic.py"
   "tests/test_parallel.py tests/test_multihost.py tests/test_datasets.py"
 )

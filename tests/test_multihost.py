@@ -73,8 +73,43 @@ cfg = MapperConfig(tile_size=16, tile_capacity=256, max_dup=8)
 state, aux = mapping_step(state, intr, cfg, init=False)
 loss = float(aux.loss)
 sync_hosts("done")
-print(f"MULTIHOST_OK rank={rank} primary={is_primary()} loss={loss:.6f}",
-      flush=True)
+
+# --- DCN-aware 2-level (host, ici) mesh: placement assertions + one step.
+from monogs_tpu.parallel.mesh import (
+    HOST_AXIS, ICI_AXIS, make_mesh_2level, window_sharding,
+    gaussian_sharding)
+from jax.sharding import PartitionSpec as P
+
+mesh2 = make_mesh_2level()
+assert mesh2.axis_names == (HOST_AXIS, ICI_AXIS)
+assert mesh2.shape[HOST_AXIS] == 2 and mesh2.shape[ICI_AXIS] == 4
+# Each mesh row must hold exactly one process's devices: the host axis IS
+# the process (DCN) axis.
+for r in range(2):
+    row_procs = {d.process_index for d in mesh2.devices[r]}
+    assert row_procs == {r}, (r, row_procs)
+assert window_sharding(mesh2).spec == P((HOST_AXIS, ICI_AXIS))
+assert gaussian_sharding(mesh2).spec == P(ICI_AXIS)
+
+state2 = init_mapper_state(N, 1, window)
+state2 = state2._replace(gmap=state2.gmap._replace(
+    params=params, active=jnp.ones((N,), bool)))
+state2 = shard_mapper_state(state2, mesh2)
+# Window keyframes split host-major over both axes; the ZeRO Adam moments
+# shard over the ICI axis only (replicated across hosts): the Adam
+# reduce-scatter/all-gather cycle never crosses DCN.
+rgb_sh = state2.window.frames.rgb.sharding
+assert rgb_sh.spec == P((HOST_AXIS, ICI_AXIS)), rgb_sh.spec
+mu_sh = state2.adam.mu["xyz"].sharding
+assert mu_sh.spec == P(ICI_AXIS), mu_sh.spec
+# A moment shard must be addressable on every host (host-replication).
+assert len({d.process_index for d in mu_sh.device_set}) == 2
+state2, aux2 = mapping_step(state2, intr, cfg, init=False)
+loss2 = float(aux2.loss)
+assert abs(loss2 - loss) < 1e-5, (loss2, loss)
+sync_hosts("done2")
+print(f"MULTIHOST_OK rank={rank} primary={is_primary()} loss={loss:.6f} "
+      f"loss2={loss2:.6f}", flush=True)
 """
 
 
