@@ -160,6 +160,7 @@ def extend_from_keyframe(
     monocular: bool = False,
     mono_init_depth: float = 2.0,
     mono_depth_noise: float = 0.3,
+    fill_depth_dropout: bool = False,
 ) -> ExtendResult:
     """Seed new Gaussians from a keyframe (gaussian_model.py:121-392).
 
@@ -202,7 +203,8 @@ def extend_from_keyframe(
         if not init and render_opacity is not None:
             valid = render_opacity < 0.5
     else:
-        valid = depth >= 1e-3
+        valid_sensor = depth >= 1e-3
+        valid = valid_sensor
         if not init and render_depth is not None:
             opa_mask = render_opacity < 0.5
             err = jnp.abs(depth - render_depth)
@@ -211,6 +213,28 @@ def extend_from_keyframe(
             )
             cond = (depth < render_depth) & (err > 50.0 * median_err)
             valid = valid & (opa_mask | cond)
+        if fill_depth_dropout:
+            # Sensor-depth dropout fill (stereo SGBM holes; VERDICT r4
+            # task 4): pixels the matcher failed on never satisfy
+            # `depth >= 1e-3`, so whole image regions are never seeded
+            # and render black forever (r4 stereo run: 93k splats, PSNR
+            # 16.15). Borrow the monocular path's synthesized depth for
+            # those pixels — a noisy frame-median prior — and seed them
+            # only where the current render is transparent (the same
+            # opacity < 0.5 gate the monocular mode uses). Statistics
+            # (densify error median, point-size median) stay on sensor
+            # pixels. Deviation from the reference, which inherits the
+            # hole (dataset.py:606-616 leaves disparity dropouts at 0).
+            med = jnp.nanmedian(jnp.where(valid_sensor, depth, jnp.nan))
+            med = jnp.nan_to_num(med, nan=mono_init_depth)
+            noise = jax.random.normal(rng_depth, depth.shape)
+            synth = med * (1.0 + mono_depth_noise * noise)
+            synth = jnp.maximum(synth, 0.1 * med)
+            depth = jnp.where(valid_sensor, depth, synth)
+            hole_ok = ~valid_sensor
+            if not init and render_opacity is not None:
+                hole_ok = hole_ok & (render_opacity < 0.5)
+            valid = valid | hole_ok
 
     max_new = min(max_new, H * W)
     flat_valid = valid.reshape(-1)

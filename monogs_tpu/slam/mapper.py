@@ -124,6 +124,11 @@ class MapperConfig:
     isotropic: bool = False
     # Monocular (no sensor depth): upstream-MonoGS seeding semantics.
     monocular: bool = False
+    # Seed sensor-depth dropout regions (stereo SGBM holes) with
+    # synthesized mono-style depth where the render is transparent
+    # (gaussian_map.extend_from_keyframe fill note). Default on for
+    # stereo via config.py; the reference inherits the hole.
+    fill_depth_dropout: bool = False
     # Isotropy regularization 10*mean|s - mean(s)| (upstream MonoGS; the
     # fork comments it out at slam_mapper.py:390-393 in favor of the hard
     # isotropic flag). 0 disables (fork behavior).
@@ -713,6 +718,7 @@ def extend_event(
         exposure_a=frame.exposure_a, exposure_b=frame.exposure_b,
         render_depth=render_depth, render_opacity=render_opacity,
         init=init, isotropic=cfg.isotropic, monocular=cfg.monocular,
+        fill_depth_dropout=cfg.fill_depth_dropout,
         downsample_init=cfg.pcd_downsample_init,
         downsample=cfg.pcd_downsample, point_size=cfg.point_size,
         max_new=cfg.max_new_per_kf,

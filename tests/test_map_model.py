@@ -61,6 +61,39 @@ def test_extend_allocates_free_slots():
     np.testing.assert_allclose(new_xyz[:, 2], 2.0, atol=1e-5)
 
 
+def test_extend_fills_depth_dropout():
+    """Stereo SGBM holes (depth == 0) are seeded with synthesized depth
+    when fill_depth_dropout is on, and skipped when off (reference
+    behavior: dataset.py:606-616 leaves dropouts at 0, never seeded)."""
+    H, W = 24, 32
+    intr = Intrinsics(30.0, 30.0, W / 2, H / 2, W, H)
+    depth = jnp.full((H, W), 2.0)
+    # a dropout hole over the left half of the image
+    depth = depth.at[:, : W // 2].set(0.0)
+    common = dict(
+        rgb=jnp.ones((H, W, 3)) * 0.5, depth=depth,
+        segmentation=jnp.zeros((H, W), jnp.int32),
+        R_w2c=jnp.eye(3), t_w2c=jnp.zeros(3), intr=intr, kf_idx=0,
+        exposure_a=jnp.zeros(()), exposure_b=jnp.zeros(()),
+        init=True, downsample_init=4, max_new=512,
+    )
+    gmap, adam = _seeded_map(n_active=0)
+    off = gm.extend_from_keyframe(
+        gmap, adam, jax.random.PRNGKey(1), **common)
+    on = gm.extend_from_keyframe(
+        gmap, adam, jax.random.PRNGKey(1), **common, fill_depth_dropout=True)
+    # off: only the valid half seeds; on: the whole frame seeds
+    assert int(off.n_added) == (H * W // 2) // 4
+    assert int(on.n_added) == (H * W) // 4
+    # hole seeds sit at the synthesized noisy-median depth, not at 0
+    rows = np.asarray(on.map.active)
+    xyz = np.asarray(on.map.params["xyz"])[rows]
+    left = xyz[xyz[:, 0] < -1e-6]          # unprojected from u < cx
+    assert left.shape[0] > 0
+    assert np.all(left[:, 2] > 0.2)        # >= 0.1 * median(2.0)
+    assert abs(np.median(left[:, 2]) - 2.0) < 0.5
+
+
 def test_extend_respects_capacity():
     gmap, adam = _seeded_map(n_active=CAP - 4)
     H, W = 24, 32
