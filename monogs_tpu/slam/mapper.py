@@ -126,8 +126,10 @@ class MapperConfig:
     monocular: bool = False
     # Seed sensor-depth dropout regions (stereo SGBM holes) with
     # synthesized mono-style depth where the render is transparent
-    # (gaussian_map.extend_from_keyframe fill note). Default on for
-    # stereo via config.py; the reference inherits the hole.
+    # (gaussian_map.extend_from_keyframe fill note). OPT-IN
+    # (Dataset.fill_depth_dropout): measured catastrophic as a stereo
+    # default — invented hole geometry corrupts tracking (r5 A/B: ATE
+    # 1.17 on vs 0.0208 off at 100 frames; RESULTS.md stereo note).
     fill_depth_dropout: bool = False
     # Isotropy regularization 10*mean|s - mean(s)| (upstream MonoGS; the
     # fork comments it out at slam_mapper.py:390-393 in favor of the hard

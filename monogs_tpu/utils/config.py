@@ -125,12 +125,13 @@ def build_mapper_config(cfg: dict, backend: str = "pallas"):
         exposure_reg=g("Training", "exposure_reg", d=0.0),
         monocular=g("Dataset", "sensor_type", d="depth") == "monocular"
         and not g("Dataset", "Calibration", "use_depth", d=False),
-        # Stereo-derived depth has matcher dropouts; fill-seed them by
-        # default (override with Dataset.fill_depth_dropout).
-        fill_depth_dropout=g(
-            "Dataset", "fill_depth_dropout",
-            d=g("Dataset", "sensor_type", d="depth") == "stereo",
-        ),
+        # Seed synthesized depth into matcher dropout holes. OPT-IN: the
+        # r5 stereo A/B measured it catastrophic as a default — blind
+        # median-depth splats in SGBM holes (occlusions/texture-poor
+        # regions whose true depth differs) corrupt the map from the
+        # init keyframe and tracking diverges from ~frame 5 (ATE 1.17
+        # vs 0.0208 with it off; RESULTS.md stereo note).
+        fill_depth_dropout=g("Dataset", "fill_depth_dropout", d=False),
         pcd_downsample_init=g("Dataset", "pcd_downsample_init", d=32),
         pcd_downsample=g("Dataset", "pcd_downsample", d=64),
         point_size=g("Dataset", "point_size", d=0.01),
