@@ -1144,6 +1144,11 @@ class SLAM:
         mapper_thread = threading.Thread(target=mapper_loop, daemon=True)
         mapper_thread.start()
 
+        # Bootstrap window (SystemConfig.async_bootstrap_kfs): while the
+        # map is young, block on each mapper result before tracking on —
+        # tracking against a stale one-seeding-pass snapshot compounds
+        # (diverges outright on noisy stereo depth; config.py note).
+        bootstrap_left = self.scfg.async_bootstrap_kfs
         n = len(self.dataset) if n_frames is None else n_frames
         wall0 = time.time()
         for idx in range(start_frame, n):
@@ -1183,6 +1188,16 @@ class SLAM:
                     self.is_window_full = True
                 q.put((idx, frame, list(self.kf_list)),
                       timeout=mapper_timeout)
+                if bootstrap_left > 0:
+                    bootstrap_left -= 1
+                    try:
+                        res_msg = results.get(timeout=mapper_timeout)
+                    except _queue.Empty:
+                        if errors:
+                            raise RuntimeError(
+                                "mapper thread failed") from errors[0]
+                        raise
+                    self._apply_mapper_result(*res_msg)
                 self._maybe_checkpoint()
             self._gc_frames()
             self.metrics["frame_times"].append(time.time() - t0)

@@ -196,6 +196,16 @@ class SystemConfig:
     # deterministic synchronous path; False = tracker ∥ mapper concurrency.
     single_thread: bool = True
     ckpt_every: int = 0             # checkpoint every N keyframes (0 = off)
+    # Async bootstrap (r5): run the first N keyframe events synchronously
+    # (tracker blocks on the mapper result) before switching to full
+    # tracker ∥ mapper overlap. While the map is young — one seeding pass,
+    # little multi-view constraint — tracking against a stale snapshot
+    # compounds; with noisy stereo (SGBM) depth this diverges outright
+    # (measured: async stereo ATE 0.597 vs sync 0.0208 over 100 frames;
+    # r4's good async stereo number was rescued by cold-cache data
+    # throttling that serialized the threads de facto). 0 = off (parity:
+    # the reference overlaps from frame 0 and has the same exposure).
+    async_bootstrap_kfs: int = 0
 
 
 def build_system_config(cfg: dict) -> SystemConfig:
@@ -217,4 +227,5 @@ def build_system_config(cfg: dict) -> SystemConfig:
             d=g("Training", "single_thread", d=True),
         ),
         ckpt_every=g("System", "ckpt_every", d=0),
+        async_bootstrap_kfs=g("System", "async_bootstrap_kfs", d=0),
     )

@@ -54,6 +54,35 @@ def test_async_mode_tracks():
     assert int(slam.state.gmap.num_active) > 50
 
 
+def test_async_bootstrap_applies_results_inline():
+    """async_bootstrap_kfs: the first N keyframe events run synchronously
+    (tracker blocks on the mapper result before tracking on). With the
+    bootstrap covering every keyframe, async must match the fully-applied
+    bookkeeping invariants: every keyframe's pose/visibility present."""
+    ds = SyntheticDataset(CFG)
+    slam = SLAM(
+        ds,
+        tracker_config=TrackerConfig(tile_size=16, max_iters=15,
+                                     tile_capacity=128, max_dup=16,
+                                     backend="ref", opacity_threshold=0.5),
+        mapper_config=MapperConfig(tile_size=16, init_itr_num=40,
+                                   init_gaussian_update=20,
+                                   init_gaussian_reset=100, iters_per_kf=8,
+                                   gaussian_update_every=1000, window_size=3,
+                                   prune_coviz=1, tile_capacity=128,
+                                   max_dup=16, backend="ref"),
+        keyframe_config=KeyframeConfig(window_size=3),
+        system_config=SystemConfig(map_capacity=4096, capacity_headroom=256,
+                                   async_bootstrap_kfs=99),
+    )
+    rmse = slam.run_async()
+    assert np.isfinite(rmse)
+    # every keyframe event's result was applied before the run ended
+    for i in slam.kf_list:
+        assert i in slam.vis_dict
+        assert i in slam.exposures
+
+
 def test_async_mapper_failure_propagates():
     ds = SyntheticDataset(CFG)
     slam = SLAM(
