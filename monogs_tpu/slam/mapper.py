@@ -945,6 +945,7 @@ def run_optimize_map(
     Returns (state, last visibility)."""
     cur = int(state.nr_iters)
     end = cur + iters
+    span_ovs = []  # deferred (overflow, overflow_parts) device handles
     while cur < end:
         stop = min(
             _next_event(cur, [
@@ -961,15 +962,13 @@ def run_optimize_map(
             # schedule; keep the device counter on the virtual cadence
             # (densify/reset points, xyz LR decay) across calls (ADVICE r4).
             state = state._replace(nr_iters=jnp.asarray(cur, jnp.int32))
-        overflow = int(aux.overflow)
-        if overflow > 1000:
-            from ..utils.logging import Log
-
-            p = [int(x) for x in aux.overflow_parts]
-            Log(f"binning overflow {overflow} entries/iter "
-                f"(gen-width {p[0]} / dup-cap {p[1]} / tile-cap {p[2]} / "
-                f"slab-cap {p[3]}) — raise max_dup_gen / max_dup / "
-                f"tile_capacity / entry_capacity respectively", tag="Mapper")
+        # Overflow telemetry is DEFERRED to the end of the event: reading
+        # int(aux.overflow) here blocks the host until the whole span
+        # drains, leaving the device idle for the readback + next-dispatch
+        # gap at every span/densify boundary (~0.1-0.3 s/event through the
+        # axon tunnel). The handles are tiny scalars; one batched read at
+        # event end preserves the exact same log lines.
+        span_ovs.append((aux.overflow, aux.overflow_parts))
         update_gaussian = (
             it % cfg.gaussian_update_every == cfg.gaussian_update_offset
         )
@@ -980,6 +979,24 @@ def run_optimize_map(
             # (slam_mapper.py:476-479), not the n_touched signal.
             any_visible = jnp.any(aux.vis_filter, axis=0)
             state = reset_nonvisible_event(state, any_visible)
+    vis = visibility_pass(state, intr, cfg)
+    # One batched readback for the whole event's overflow telemetry (the
+    # per-span blocking read this replaces is the log's only consumer).
+    if span_ovs:
+        import numpy as np
+
+        packed = np.asarray(jnp.concatenate(
+            [jnp.concatenate([o[None], p]) for o, p in span_ovs]
+        )).reshape(len(span_ovs), 5).astype(np.int64)
+        worst = packed[packed[:, 0].argmax()]
+        if worst[0] > 1000:
+            from ..utils.logging import Log
+
+            Log(f"binning overflow {int(worst[0])} entries/iter "
+                f"(gen-width {int(worst[1])} / dup-cap {int(worst[2])} / "
+                f"tile-cap {int(worst[3])} / slab-cap {int(worst[4])}) — "
+                f"raise max_dup_gen / max_dup / tile_capacity / "
+                f"entry_capacity respectively", tag="Mapper")
     # Visibility for the caller's covisibility bookkeeping (the hot loop
     # skips the per-iteration n_touched scatter).
-    return state, visibility_pass(state, intr, cfg)
+    return state, vis
