@@ -939,10 +939,19 @@ def run_initialize_map(state: MapperState, intr: Intrinsics, cfg: MapperConfig,
 
 def run_optimize_map(
     state: MapperState, intr: Intrinsics, cfg: MapperConfig, iters: int,
+    defer_overflow_read: bool = True,
 ):
     """The iters_per_kf mapping loop with its cadences
     (slam_mapper.py:244-496), run in jitted chunks between cadence events.
-    Returns (state, last visibility)."""
+    Returns (state, last visibility).
+
+    defer_overflow_read=True batches the overflow-telemetry readback to the
+    event end (no mid-event pipeline drains — right for SYNC mode, where
+    the mapper owns the device). In ASYNC mode the caller passes False:
+    the per-span drain bounds how much mapper work the single device queue
+    holds, so tracker dispatches are not stalled behind a whole event's
+    spans (measured r5: deferring in async read 0.25 fps vs 0.27 committed
+    on the flagship protocol)."""
     cur = int(state.nr_iters)
     end = cur + iters
     span_ovs = []  # deferred (overflow, overflow_parts) device handles
@@ -962,13 +971,22 @@ def run_optimize_map(
             # schedule; keep the device counter on the virtual cadence
             # (densify/reset points, xyz LR decay) across calls (ADVICE r4).
             state = state._replace(nr_iters=jnp.asarray(cur, jnp.int32))
-        # Overflow telemetry is DEFERRED to the end of the event: reading
-        # int(aux.overflow) here blocks the host until the whole span
-        # drains, leaving the device idle for the readback + next-dispatch
-        # gap at every span/densify boundary (~0.1-0.3 s/event through the
-        # axon tunnel). The handles are tiny scalars; one batched read at
-        # event end preserves the exact same log lines.
-        span_ovs.append((aux.overflow, aux.overflow_parts))
+        # Overflow telemetry: deferred (one batched read at event end,
+        # same log lines) or per-span (drains the pipeline — the async
+        # fairness valve). See the docstring.
+        if defer_overflow_read:
+            span_ovs.append((aux.overflow, aux.overflow_parts))
+        else:
+            overflow = int(aux.overflow)
+            if overflow > 1000:
+                from ..utils.logging import Log
+
+                p = [int(x) for x in aux.overflow_parts]
+                Log(f"binning overflow {overflow} entries/iter "
+                    f"(gen-width {p[0]} / dup-cap {p[1]} / tile-cap {p[2]} "
+                    f"/ slab-cap {p[3]}) — raise max_dup_gen / max_dup / "
+                    f"tile_capacity / entry_capacity respectively",
+                    tag="Mapper")
         update_gaussian = (
             it % cfg.gaussian_update_every == cfg.gaussian_update_offset
         )

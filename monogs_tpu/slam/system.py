@@ -181,6 +181,10 @@ class SLAM:
             "ate": [], "tracking_iters": [], "frame_times": [], "overflow": [],
         }
         self.viewer = None
+        # Overflow-telemetry readback policy for mapping events: deferred
+        # (batched at event end — sync mode) vs per-span (async fairness
+        # valve; run_async flips this). See mapper.run_optimize_map.
+        self._defer_overflow_read = True
         self._cap_bumps = 0  # overflow-triggered entry_capacity raises
         # Mid-run demand re-probe state (VERDICT r4 weak #6): candidate
         # config + its background compile thread(s), swapped in when done.
@@ -802,7 +806,8 @@ class SLAM:
             # visibility (prune=True pass, slam_mapper.py:720, 408-451) —
             # recomputing it here was a redundant dispatch per keyframe.
             self.state, vis = run_optimize_map(
-                self.state, self.intr, self.mcfg, self.mcfg.iters_per_kf
+                self.state, self.intr, self.mcfg, self.mcfg.iters_per_kf,
+                defer_overflow_read=self._defer_overflow_read,
             )
         if len(kf_list) == self.kcfg.window_size:
             if not self.first_time_pruned:
@@ -1108,6 +1113,12 @@ class SLAM:
         import queue as _queue
         import threading
 
+        # Per-span overflow drains while the tracker shares the device
+        # queue: an undrained event enqueues all its spans back-to-back and
+        # tracker dispatches stall behind the whole event (r5 A/B: deferred
+        # reads cost 0.271 -> 0.25 fps on the async flagship protocol).
+        self._defer_overflow_read = False
+
         q: _queue.Queue = _queue.Queue(maxsize=queue_depth)
         results: _queue.Queue = _queue.Queue()
         errors: list[BaseException] = []
@@ -1204,6 +1215,7 @@ class SLAM:
 
         q.put(STOP)
         mapper_thread.join(timeout=mapper_timeout)
+        self._defer_overflow_read = True  # mapper owns the device again
         if errors:
             raise RuntimeError("mapper thread failed") from errors[0]
         drain_results()
